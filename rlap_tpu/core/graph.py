@@ -222,6 +222,25 @@ def weighted_degrees(g: Graph) -> jax.Array:
     )[:-1]
 
 
+def induced_subgraph(g: Graph, keep: jax.Array) -> Graph:
+    """Kill edges with either endpoint outside `keep` (bool[num_nodes]).
+    Node ids are preserved (no relabeling) — padded-static-shape analogue of
+    PyG `subgraph(...)` as used by the diffusion augmentors."""
+    kp = jnp.concatenate([keep, jnp.zeros((1,), bool)])
+    alive = g.edge_mask & kp[g.senders] & kp[g.receivers]
+    return g.replace(
+        senders=jnp.where(alive, g.senders, g.num_nodes),
+        receivers=jnp.where(alive, g.receivers, g.num_nodes),
+        weights=jnp.where(alive, g.weights, 0.0),
+    )
+
+
+def mirror_indices(g: Graph) -> jax.Array:
+    """For a symmetric, coalesced, (s, r)-sorted edge list: index of each
+    edge's reversed twin. (Sorting by (r, s) lists mirrors in order.)"""
+    return jnp.lexsort((g.senders, g.receivers)).astype(jnp.int32)
+
+
 def with_capacity(g: Graph, edge_capacity: int) -> Graph:
     """Grow (or shrink, host-side only) the static edge capacity."""
     cap = g.edge_capacity
