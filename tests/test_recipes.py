@@ -1,0 +1,103 @@
+"""End-to-end recipe smoke + learning tests on synthetic data.
+
+The reference validates recipes by running them and scraping accuracy
+(`prepare_final_stats.py`); here each recipe trains briefly on an SBM / ER
+synthetic task and must (a) produce finite losses that decrease, and
+(b) beat chance accuracy with the linear probe.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from rlap_tpu.augment import (Compose, EdgeRemoving, FeatureMasking, Identity,
+                              RLap, make_augmentor_pair)
+from rlap_tpu.data.synthetic import (synthetic_graph_dataset,
+                                     synthetic_node_dataset)
+
+
+@pytest.fixture(scope="module")
+def node_data():
+    return synthetic_node_dataset(n=128, num_classes=4, feature_dim=32,
+                                  p_in=0.15, p_out=0.01, seed=0)
+
+
+@pytest.fixture(scope="module")
+def graph_data():
+    return synthetic_graph_dataset(num_graphs=48, n_lo=8, n_hi=16,
+                                   feature_dim=8, seed=0)
+
+
+def test_grace_learns(node_data):
+    from rlap_tpu.models.grace import GraceTrainer
+
+    g, y = node_data
+    a1, a2 = make_augmentor_pair("rLap", 0.2, 0.2, num_nodes=g.num_nodes)
+    tr = GraceTrainer(a1, a2, hidden_dim=32, num_layers=2, lr=5e-3,
+                      block_size=64, seed=0)
+    losses = tr.fit(g, max_epochs=30, tolerance=30)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    res = tr.evaluate(g, y)
+    assert res["accuracy"] > 0.4  # 4 classes, chance = 0.25
+
+
+def test_mvgrl_runs(node_data):
+    from rlap_tpu.models.mvgrl import MVGRLTrainer
+
+    g, y = node_data
+    a1 = Compose([Identity(), FeatureMasking(0.3)])
+    a2 = Compose([RLap(0.2), FeatureMasking(0.3)])
+    tr = MVGRLTrainer(a1, a2, augmentor_name="rLap", hidden_dim=32,
+                      num_layers=2, lr=5e-3, seed=0)
+    losses = tr.fit(g, max_epochs=15, tolerance=15)
+    assert np.isfinite(losses).all()
+    res = tr.evaluate(g, y)
+    assert res["accuracy"] > 0.3
+
+
+def test_graphcl_learns(graph_data):
+    from rlap_tpu.models.graphcl import GraphCLTrainer
+
+    graphs, y = graph_data
+    a1 = Compose([RLap(0.2), FeatureMasking(0.3)])
+    a2 = Compose([EdgeRemoving(0.2), FeatureMasking(0.3)])
+    tr = GraphCLTrainer(a1, a2, hidden_dim=16, num_layers=2, lr=1e-2,
+                        batch_size=16, seed=0)
+    losses = tr.fit(graphs, max_epochs=8, tolerance=8)
+    assert np.isfinite(losses).all()
+    res = tr.evaluate(graphs, y)
+    assert res["accuracy"] > 0.5  # density-separable 2-class task
+
+
+def test_bgrl_runs(graph_data):
+    from rlap_tpu.models.bgrl import BGRLTrainer
+
+    graphs, y = graph_data
+    a1 = Compose([RLap(0.2), FeatureMasking(0.3)])
+    a2 = Compose([EdgeRemoving(0.2), FeatureMasking(0.3)])
+    tr = BGRLTrainer(a1, a2, hidden_dim=16, num_layers=2, lr=1e-2,
+                     batch_size=16, seed=0)
+    losses = tr.fit(graphs, max_epochs=5, tolerance=5)
+    assert np.isfinite(losses).all()
+    res = tr.evaluate(graphs, y)
+    assert 0.0 <= res["accuracy"] <= 1.0
+
+
+def test_cca_ssg_learns(node_data):
+    from rlap_tpu.models.cca_ssg import CCASSGTrainer
+
+    g, y = node_data
+
+    def aug(graph, key):
+        k1, k2 = jax.random.split(key)
+        out = RLap(0.2)(graph, k1)
+        return FeatureMasking(0.2)(out, k2)
+
+    tr = CCASSGTrainer(aug, hidden_dim=64, out_dim=64, num_layers=2,
+                       lr=1e-3, lam=1e-3, seed=0)
+    losses = tr.fit(g, max_epochs=25)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    res = tr.evaluate(g, y)
+    assert res["accuracy"] > 0.4
