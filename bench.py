@@ -1,0 +1,90 @@
+"""Benchmark: rLap augmentation throughput (edges/s) on the TPU kernel vs
+the sequential C++ oracle (the reference implementation's stand-in).
+
+Prints ONE JSON line:
+  {"metric": "rlap_edges_per_s", "value": N, "unit": "edges/s",
+   "vs_baseline": ratio}
+where the baseline is the single-thread sequential C++ engine (same
+algorithm as the reference's `preconditioner.cc`) on this host's CPU.
+All diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from rlap_tpu.data.synthetic import barabasi_albert
+    from rlap_tpu.native import oracle_approximate_cholesky
+    from rlap_tpu.ops.rlap import eliminate
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    m = 8
+    frac = 0.5
+    t = int(frac * n)
+
+    log(f"devices: {jax.devices()}")
+    g = barabasi_albert(n, m, seed=0)
+    e_live = int(np.asarray(g.edge_mask).sum())
+    log(f"BA(n={n}, m={m}): {e_live} directed edges, removing {t} nodes")
+
+    mask = np.asarray(g.edge_mask)
+    ei = np.stack([np.asarray(g.senders)[mask], np.asarray(g.receivers)[mask]])
+
+    # --- baseline: sequential C++ engine on CPU -------------------------
+    t0 = time.perf_counter()
+    oracle_approximate_cholesky(ei, None, n, t, o_v="random", o_n="random",
+                                seed=0)
+    t_oracle = time.perf_counter() - t0
+    base_eps = e_live / t_oracle
+    log(f"oracle (CPU, sequential): {t_oracle:.3f}s -> {base_eps:,.0f} edges/s")
+
+    # --- TPU kernel ------------------------------------------------------
+    d_cap = 512  # BA max degree grows ~ sqrt(n); 512 covers n=20k comfortably
+    b_cap = min(t, 8192)
+    key = jax.random.PRNGKey(0)
+
+    def run(seed):
+        out, removed, overflow = eliminate(
+            g, jax.random.fold_in(key, seed), t,
+            o_v="random", o_n="random", b_cap=b_cap, d_cap=d_cap)
+        return out.weights.sum(), removed, overflow
+
+    t0 = time.perf_counter()
+    wsum, removed, overflow = jax.block_until_ready(run(0))
+    log(f"first call (compile + run): {time.perf_counter() - t0:.1f}s; "
+        f"removed={int(removed)} overflow={bool(overflow)}")
+    if bool(overflow):
+        log("WARNING: overflow at d_cap; escalate")
+
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        wsum, removed, overflow = run(i)
+    jax.block_until_ready(wsum)
+    dt = (time.perf_counter() - t0) / reps
+    eps = e_live / dt
+    log(f"kernel: {dt * 1e3:.1f} ms/call -> {eps:,.0f} edges/s "
+        f"(removed {int(removed)}/{t})")
+
+    print(json.dumps({
+        "metric": "rlap_edges_per_s",
+        "value": round(eps),
+        "unit": "edges/s",
+        "vs_baseline": round(eps / base_eps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

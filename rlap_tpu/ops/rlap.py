@@ -272,7 +272,7 @@ def _eliminate_impl(
 
     out = jax.lax.while_loop(cond, body, state)
     return (out["senders"], out["receivers"], out["weights"],
-            out["removed"], out["overflow"])
+            out["removed"], out["overflow"], out["rnd"])
 
 
 @functools.partial(
@@ -293,7 +293,7 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     # the reference never eliminates the last vertex (`while(it <= t && it < n)`,
     # preconditioner.cc:723)
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), g.num_nodes - 1)
-    s, r, w, removed, overflow = _eliminate_impl(
+    s, r, w, removed, overflow, _rounds = _eliminate_impl(
         gg.senders, gg.receivers, gg.weights, key, t,
         n=g.num_nodes, o_v=o_v, o_n=o_n, b_cap=b_cap, d_cap=d_cap)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=g.num_nodes,
