@@ -1,0 +1,279 @@
+"""Dataset loaders: Planetoid / GNN-benchmark npz / TU formats + registry.
+
+Parity with the reference's dataset surface: PyG `Planetoid` (Cora, CiteSeer,
+PubMed), `Coauthor` (CS, Physics), `Amazon` (Photo, Computers) with
+`NormalizeFeatures` (`node_shared.py:308-322`), `TUDataset` for
+PROTEINS/MUTAG/IMDB/NCI1/REDDIT/COLLAB/PTC (`graph_shared.py:209-218`), and
+DGL-style splits: built-in masks for Planetoid, 10/10/80 random otherwise
+(`CCA-SSG/dataset.py:29-56`).
+
+This environment has no network egress, so every loader reads the standard
+on-disk formats if present under `root` and `load_dataset` falls back to a
+deterministic synthetic stand-in of comparable shape otherwise (flagged via
+`meta["synthetic"]`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+import warnings
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from rlap_tpu.core.graph import Graph
+
+
+def normalize_features(x: np.ndarray) -> np.ndarray:
+    """Row-sum normalization (PyG NormalizeFeatures)."""
+    s = np.abs(x).sum(axis=1, keepdims=True)
+    return x / np.maximum(s, 1e-12)
+
+
+def _symmetrize(s, r):
+    pairs = np.unique(np.concatenate(
+        [np.stack([s, r], 1), np.stack([r, s], 1)], 0), axis=0)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    return pairs[:, 0], pairs[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# Planetoid (ind.<name>.{x,tx,allx,y,ty,ally,graph,test.index})
+# ---------------------------------------------------------------------------
+
+
+def load_planetoid(root: str, name: str):
+    """Returns (Graph with .x row-normalized, labels, split_masks)."""
+    import scipy.sparse as sp
+
+    name = name.lower()
+    d = Path(root)
+    objs = {}
+    for suf in ("x", "tx", "allx", "y", "ty", "ally", "graph"):
+        p = d / f"ind.{name}.{suf}"
+        with open(p, "rb") as f:
+            objs[suf] = pickle.load(f, encoding="latin1")
+    test_idx = np.loadtxt(d / f"ind.{name}.test.index", dtype=np.int64)
+    test_sorted = np.sort(test_idx)
+
+    allx = objs["allx"].toarray()
+    tx = objs["tx"].toarray()
+    ally, ty = objs["ally"], objs["ty"]
+    n = int(max(test_idx.max() + 1, allx.shape[0] + tx.shape[0]))
+    f = allx.shape[1]
+    x = np.zeros((n, f), np.float32)
+    x[: allx.shape[0]] = allx
+    x[test_sorted] = tx  # citeseer has gaps; zeros stay for isolated ids
+    y = np.zeros((n,), np.int64)
+    y[: ally.shape[0]] = ally.argmax(1)
+    y[test_sorted] = ty.argmax(1)
+
+    src, dst = [], []
+    for u, nbrs in objs["graph"].items():
+        for v in nbrs:
+            src.append(u)
+            dst.append(v)
+    s, r = _symmetrize(np.asarray(src), np.asarray(dst))
+
+    train_mask = np.zeros((n,), bool)
+    val_mask = np.zeros((n,), bool)
+    test_mask = np.zeros((n,), bool)
+    train_mask[: objs["y"].shape[0]] = True
+    val_mask[objs["y"].shape[0]: objs["y"].shape[0] + 500] = True
+    test_mask[test_sorted] = True
+
+    g = Graph.from_edges(s, r, num_nodes=n, x=normalize_features(x))
+    return g, y.astype(np.int32), {"train": train_mask, "valid": val_mask,
+                                   "test": test_mask}
+
+
+# ---------------------------------------------------------------------------
+# GNN-benchmark npz (Coauthor CS/Physics, Amazon Photo/Computers)
+# ---------------------------------------------------------------------------
+
+
+def load_npz_graph(path: str):
+    with np.load(path, allow_pickle=True) as f:
+        d = dict(f)
+    import scipy.sparse as sp
+
+    adj = sp.csr_matrix((d["adj_data"], d["adj_indices"], d["adj_indptr"]),
+                        shape=d["adj_shape"])
+    if "attr_data" in d:
+        x = sp.csr_matrix((d["attr_data"], d["attr_indices"],
+                           d["attr_indptr"]), shape=d["attr_shape"]).toarray()
+    else:
+        x = d["attr_matrix"]
+    y = d["labels"]
+    coo = adj.tocoo()
+    s, r = _symmetrize(coo.row.astype(np.int64), coo.col.astype(np.int64))
+    g = Graph.from_edges(s, r, num_nodes=adj.shape[0],
+                         x=normalize_features(x.astype(np.float32)))
+    return g, y.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# TU format (<DS>_A.txt, _graph_indicator.txt, _graph_labels.txt, ...)
+# ---------------------------------------------------------------------------
+
+
+def load_tu(root: str, name: str, feature_dim_fallback: int = 1):
+    """Returns (list[Graph], labels[int32]) — featureless graphs get x=ones
+    (the reference's fallback, graph_shared.py:156-160)."""
+    d = Path(root)
+    pre = d / name
+    a = np.loadtxt(pre / f"{name}_A.txt", delimiter=",", dtype=np.int64)
+    gi = np.loadtxt(pre / f"{name}_graph_indicator.txt", dtype=np.int64)
+    gl = np.loadtxt(pre / f"{name}_graph_labels.txt", dtype=np.int64)
+    node_labels = None
+    nl_path = pre / f"{name}_node_labels.txt"
+    if nl_path.exists():
+        node_labels = np.loadtxt(nl_path, delimiter=",", dtype=np.int64)
+        if node_labels.ndim > 1:
+            node_labels = node_labels[:, 0]
+    node_attrs = None
+    na_path = pre / f"{name}_node_attributes.txt"
+    if na_path.exists():
+        node_attrs = np.loadtxt(na_path, delimiter=",", dtype=np.float32)
+        if node_attrs.ndim == 1:
+            node_attrs = node_attrs[:, None]
+
+    # relabel to 0-based per-graph nodes
+    gi0 = gi - gi.min()
+    num_graphs = int(gi0.max()) + 1
+    node_of = np.arange(gi0.shape[0])
+    first = np.full(num_graphs, np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(first, gi0, node_of)
+    counts = np.bincount(gi0, minlength=num_graphs)
+
+    s_all = a[:, 0] - 1  # TU files are 1-indexed
+    r_all = a[:, 1] - 1
+    owner = gi0[s_all]
+
+    labels_sorted = np.unique(gl)
+    y = np.searchsorted(labels_sorted, gl).astype(np.int32)
+
+    if node_labels is not None:
+        n_classes = int(node_labels.max()) + 1
+        feats = np.eye(n_classes, dtype=np.float32)[node_labels]
+        if node_attrs is not None:
+            feats = np.concatenate([node_attrs, feats], axis=1)
+    elif node_attrs is not None:
+        feats = node_attrs
+    else:
+        feats = np.ones((gi0.shape[0], feature_dim_fallback), np.float32)
+
+    graphs: List[Graph] = []
+    for gid in range(num_graphs):
+        sel = owner == gid
+        off = first[gid]
+        s = (s_all[sel] - off).astype(np.int64)
+        r = (r_all[sel] - off).astype(np.int64)
+        n = int(counts[gid])
+        g = Graph.from_edges(s, r, num_nodes=n,
+                             x=feats[off:off + n])
+        graphs.append(g)
+    return graphs, y
+
+
+# ---------------------------------------------------------------------------
+# registry with synthetic fallback
+# ---------------------------------------------------------------------------
+
+NODE_DATASETS = ("CORA", "CITESEER", "PUBMED", "COAUTHOR-CS", "COAUTHOR-PHY",
+                 "AMAZON-PHOTO", "AMAZON-COMPUTERS")
+GRAPH_DATASETS = ("PROTEINS_full", "MUTAG", "IMDB-BINARY", "IMDB-MULTI",
+                  "NCI1", "REDDIT-BINARY", "COLLAB", "PTC_MR")
+
+_SYN_SHAPES = {  # rough (n, classes, feature_dim) stand-ins
+    "CORA": (2708, 7, 1433), "CITESEER": (3327, 6, 3703),
+    "PUBMED": (19717, 3, 500), "COAUTHOR-CS": (18333, 15, 6805),
+    "COAUTHOR-PHY": (34493, 5, 8415), "AMAZON-PHOTO": (7650, 8, 745),
+    "AMAZON-COMPUTERS": (13752, 10, 767),
+}
+
+
+def default_root() -> str:
+    return os.environ.get("RLAP_TPU_DATA",
+                          os.path.expanduser("~/datasets"))
+
+
+def load_dataset(name: str, root: Optional[str] = None,
+                 synthetic_scale: float = 1.0):
+    """Node dataset by registry name. Returns (Graph, labels, meta).
+
+    meta = {"synthetic": bool, "splits": Optional[mask dict]}.
+    """
+    root = root or default_root()
+    name = name.upper()
+    try:
+        if name in ("CORA", "CITESEER", "PUBMED"):
+            sub = {"CORA": "Cora", "CITESEER": "CiteSeer",
+                   "PUBMED": "PubMed"}[name]
+            for cand in (Path(root) / sub / "raw", Path(root) / sub,
+                         Path(root)):
+                if (cand / f"ind.{sub.lower()}.graph").exists():
+                    g, y, splits = load_planetoid(str(cand), sub)
+                    return g, y, {"synthetic": False, "splits": splits}
+            raise FileNotFoundError(name)
+        npz_names = {"COAUTHOR-CS": "ms_academic_cs.npz",
+                     "COAUTHOR-PHY": "ms_academic_phy.npz",
+                     "AMAZON-PHOTO": "amazon_electronics_photo.npz",
+                     "AMAZON-COMPUTERS": "amazon_electronics_computers.npz"}
+        if name in npz_names:
+            for cand in (Path(root) / npz_names[name],
+                         Path(root) / name / npz_names[name]):
+                if cand.exists():
+                    g, y = load_npz_graph(str(cand))
+                    return g, y, {"synthetic": False, "splits": None}
+            raise FileNotFoundError(name)
+        raise KeyError(f"unknown node dataset {name}")
+    except FileNotFoundError:
+        from rlap_tpu.data.synthetic import synthetic_node_dataset
+
+        n, c, f = _SYN_SHAPES.get(name, (2048, 4, 256))
+        n = max(int(n * synthetic_scale), 64)
+        f = min(f, 512)
+        warnings.warn(
+            f"{name}: raw files not found under {root}; using a synthetic "
+            f"SBM stand-in (n={n}, classes={c}, f={f})")
+        g, y = synthetic_node_dataset(n=n, num_classes=c, feature_dim=f,
+                                      p_in=min(20.0 / n, 1.0),
+                                      p_out=min(2.0 / n, 1.0), seed=42)
+        return g, y, {"synthetic": True, "splits": None}
+
+
+def load_graph_dataset(name: str, root: Optional[str] = None):
+    """TU dataset by name; synthetic ER stand-in when absent."""
+    root = root or default_root()
+    try:
+        if (Path(root) / name / f"{name}_A.txt").exists():
+            graphs, y = load_tu(root, name)
+            return graphs, y, {"synthetic": False}
+        if (Path(root) / name / name / f"{name}_A.txt").exists():
+            graphs, y = load_tu(str(Path(root) / name), name)
+            return graphs, y, {"synthetic": False}
+        raise FileNotFoundError(name)
+    except FileNotFoundError:
+        from rlap_tpu.data.synthetic import synthetic_graph_dataset
+
+        warnings.warn(f"{name}: TU files not found under {root}; using a "
+                      f"synthetic ER stand-in")
+        graphs, y = synthetic_graph_dataset(num_graphs=128, seed=7)
+        return graphs, y, {"synthetic": True}
+
+
+def cca_split(num_nodes: int, splits: Optional[dict], seed: int = 0):
+    """Built-in masks when available, else 10/10/80 random
+    (`CCA-SSG/dataset.py:29-56`)."""
+    if splits is not None:
+        return splits
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(num_nodes)
+    n_tr, n_va = num_nodes // 10, num_nodes // 10
+    m = lambda idx: np.isin(np.arange(num_nodes), idx)
+    return {"train": m(perm[:n_tr]), "valid": m(perm[n_tr:n_tr + n_va]),
+            "test": m(perm[n_tr + n_va:])}

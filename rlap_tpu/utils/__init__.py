@@ -1,0 +1,3 @@
+from rlap_tpu.utils.logging import MetricsLogger, read_metrics  # noqa: F401
+from rlap_tpu.utils.config import ExperimentConfig, sweep  # noqa: F401
+from rlap_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint  # noqa: F401

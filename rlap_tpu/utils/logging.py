@@ -1,0 +1,70 @@
+"""Structured metrics logging.
+
+The reference uses stdout-as-database: printed lines in a fixed grammar
+scraped back with grok patterns (`prepare_final_stats.py:23`,
+`process_results.py:21`). Here runs append JSONL records
+(one object per event) and the aggregation utilities consume those directly
+— same capability, no fragile text parsing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional
+
+
+class MetricsLogger:
+    def __init__(self, path: Optional[str] = None, run_id: str = "",
+                 echo: bool = True, **context):
+        self.path = Path(path) if path else None
+        self.run_id = run_id or f"run-{int(time.time())}"
+        self.context = context
+        self.echo = echo
+        if self.path:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, event: str, **fields):
+        rec: Dict[str, Any] = {"ts": time.time(), "run_id": self.run_id,
+                               "event": event, **self.context, **fields}
+        line = json.dumps(rec, default=float)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(line + "\n")
+        if self.echo:
+            print(line, file=sys.stderr, flush=True)
+        return rec
+
+    def metric(self, name: str, value, step: Optional[int] = None, **fields):
+        return self.log("metric", name=name, value=float(value), step=step,
+                        **fields)
+
+
+def read_metrics(path: str, event: Optional[str] = None) -> Iterator[dict]:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            if event is None or rec.get("event") == event:
+                yield rec
+
+
+def aggregate(paths, name: str):
+    """mean ± std of a metric across runs — the reference's
+    `prepare_final_stats.py` tables, minus the log scraping."""
+    import numpy as np
+
+    vals = []
+    for p in paths:
+        for rec in read_metrics(p, "metric"):
+            if rec.get("name") == name:
+                vals.append(rec["value"])
+    arr = np.asarray(vals, float)
+    return {"mean": float(arr.mean()) if arr.size else float("nan"),
+            "std": float(arr.std()) if arr.size else float("nan"),
+            "n": int(arr.size)}
