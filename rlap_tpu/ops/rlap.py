@@ -62,6 +62,27 @@ _VALID_O_N = ("asc", "desc", "random")
 _INT_MAX = np.iinfo(np.int32).max
 
 
+def _batched_searchsorted_right(cum, q, d_cap: int):
+    """First index k with cum[..., k] > q, per row — `searchsorted(side="right")`
+    over the trailing axis, as an unrolled binary search (log2(d_cap) gathers).
+
+    `jnp.searchsorted`/vmap lowers to per-row scalar loops that dominate the
+    round time on TPU; this runs as log2(d_cap) vectorized [b, d] gathers.
+    """
+    b, d = q.shape
+    lo = jnp.zeros_like(q, dtype=jnp.int32)
+    hi = jnp.full_like(lo, d_cap)
+    # result range is [0, d_cap] inclusive -> d_cap + 1 possible values
+    steps = max(1, int(np.ceil(np.log2(d_cap + 1))))
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        v = jnp.take_along_axis(cum, jnp.clip(mid, 0, d_cap - 1), axis=-1)
+        go_right = v <= q
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
+
+
 def _column_batch(senders, receivers, weights, elim_pad, slot, pos_e, b_cap, d_cap, n):
     """Gather this round's eliminated columns into dense [b_cap, d_cap] blocks.
 
@@ -105,12 +126,15 @@ def _eliminate_impl(
     state = dict(
         senders=senders, receivers=receivers, weights=weights,
         pending=pending, removed=jnp.zeros((), jnp.int32),
+        npend=jnp.sum(pending.astype(jnp.int32)),
         overflow=jnp.zeros((), bool), key=key,
         rnd=jnp.zeros((), jnp.int32),
     )
 
     def cond(st):
-        return (jnp.any(st["pending"]) & (st["removed"] < t)
+        # scalars only: a cond that reads array state forces a per-iteration
+        # host round-trip on remote-executed backends (~100x slowdown).
+        return ((st["npend"] > 0) & (st["removed"] < t)
                 & jnp.logical_not(st["overflow"]))
 
     def body(st):
@@ -199,8 +223,7 @@ def _eliminate_impl(
             u = jax.random.uniform(k_u, (b_cap, 1),
                                    dtype=jnp.float32).astype(wdtype)
             rv = u * csum
-            koff = jax.vmap(
-                lambda c, q: jnp.searchsorted(c, q, side="right"))(cum, rv)
+            koff = _batched_searchsorted_right(cum, rv, d_cap)
             koff = jnp.clip(koff, 0, jnp.maximum(length - 1, 0))
             partner = jnp.take_along_axis(nb, koff, axis=-1)  # [b, 1]
             w_k = jnp.take_along_axis(v, koff, axis=-1)
@@ -213,8 +236,7 @@ def _eliminate_impl(
             u = jax.random.uniform(k_u, v.shape,
                                    dtype=jnp.float32).astype(wdtype)
             rv = cum + u * suffix
-            kk = jax.vmap(
-                lambda c, q: jnp.searchsorted(c, q, side="right"))(cum, rv)
+            kk = _batched_searchsorted_right(cum, rv, d_cap)
             kk = jnp.clip(kk, 0, jnp.maximum(length - 1, 0))
             partner = jnp.take_along_axis(nb, kk, axis=-1)
             emit = cm & (jidx < length - 1) & (csum > 0)
@@ -255,16 +277,20 @@ def _eliminate_impl(
         r2 = scatter(r2, mtgt, src_new, n)
         w2 = scatter(w2, mtgt, w_new, 0.0)
 
-        # re-sort + merge duplicates for the next round (compressColumn merge)
+        # re-sort + merge duplicates for the next round (compressColumn merge).
+        # Zero-drop runs *before* the coalesce sort (elementwise, keeps the
+        # coalesced output sorted, so no second sort is needed); all emitted
+        # weights are positive so this only catches killed-edge residue.
         gg = Graph(senders=s2, receivers=r2, weights=w2, num_nodes=n)
-        gg = G.coalesce(gg)
         gg = G.drop_zero_weight(gg)
-        gg = G.sort_edges(gg)
+        gg = G.coalesce(gg)
 
+        pending_next = pending & jnp.logical_not(elim)
         return dict(
             senders=gg.senders, receivers=gg.receivers, weights=gg.weights,
-            pending=pending & jnp.logical_not(elim),
+            pending=pending_next,
             removed=st["removed"] + b_count,
+            npend=jnp.sum(pending_next.astype(jnp.int32)),
             overflow=st["overflow"] | stall,
             key=st["key"],
             rnd=st["rnd"] + 1,
