@@ -139,7 +139,10 @@ class DualBranchContrast:
     """Two-directional contrast wiring (`node_shared.py:88-149`).
 
     mode: "L2L" (node-node), "G2G" (graph-graph), "G2L" (graph-node).
-    loss: "infonce" | "infonce_batched" | "jsd" | "bootstrap".
+    loss: "infonce" | "infonce_batched" | "infonce_fused" | "jsd" |
+    "bootstrap". "infonce_fused" is the Pallas flash-style kernel
+    (`rlap_tpu.ops.infonce_pallas`), numerically equivalent to
+    "infonce_batched" but the [N, N] similarity tiles never leave VMEM.
     """
 
     def __init__(self, loss: str = "infonce", mode: str = "L2L",
@@ -157,6 +160,10 @@ class DualBranchContrast:
             return infonce_batched(anchor, sample, tau=self.tau,
                                    block_size=self.block_size,
                                    anchor_mask=anchor_mask)
+        if self.loss_name == "infonce_fused":
+            from rlap_tpu.ops.infonce_pallas import infonce_fused
+            return infonce_fused(anchor, sample, tau=self.tau,
+                                 anchor_mask=anchor_mask)
         if self.loss_name == "jsd":
             return jsd(anchor, sample, pos_mask, neg_mask)
         if self.loss_name == "bootstrap":
@@ -167,7 +174,7 @@ class DualBranchContrast:
                  segment_ids=None, num_graphs: Optional[int] = None,
                  h3=None, h4=None, node_mask=None):
         if self.mode == "L2L":
-            if self.loss_name == "infonce_batched":
+            if self.loss_name in ("infonce_batched", "infonce_fused"):
                 l1 = self._one_way(h1, h2, None, None, node_mask)
                 l2 = self._one_way(h2, h1, None, None, node_mask)
             else:
