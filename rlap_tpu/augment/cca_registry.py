@@ -23,10 +23,12 @@ from rlap_tpu.augment.rlap import RLap
 from rlap_tpu.augment.rw import RWSampling
 from rlap_tpu.core.graph import Graph
 
-# module-level diffusion caches, like the reference's MARKOVD_CACHE /
-# PPRD_CACHE globals (`CCA-SSG/aug.py:11-12`)
-_MARKOVD_CACHE: dict = {}
-_PPRD_CACHE: dict = {}
+# module-level single-entry diffusion caches, like the reference's
+# MARKOVD_CACHE / PPRD_CACHE globals (`CCA-SSG/aug.py:11-12`). Each holds
+# (graph, result): keeping a strong reference to the keying graph means an
+# `is` check can never alias a new graph that reused a garbage-collected id.
+_MARKOVD_CACHE: list = [None, None]
+_PPRD_CACHE: list = [None, None]
 
 
 def _with_feat_drop(topology_fn):
@@ -65,20 +67,18 @@ def nd_aug(g, key, frac):
 
 @_with_feat_drop
 def markovd_aug(g, key, frac):
-    ck = id(g)
-    if ck not in _MARKOVD_CACHE:
-        _MARKOVD_CACHE.clear()
-        _MARKOVD_CACHE[ck] = MarkovDiffusion(alpha=0.05)(g, key)
-    return _MARKOVD_CACHE[ck]
+    if _MARKOVD_CACHE[0] is not g:
+        _MARKOVD_CACHE[0] = g
+        _MARKOVD_CACHE[1] = MarkovDiffusion(alpha=0.05)(g, key)
+    return _MARKOVD_CACHE[1]
 
 
 @_with_feat_drop
 def pprd_aug(g, key, frac):
-    ck = id(g)
-    if ck not in _PPRD_CACHE:
-        _PPRD_CACHE.clear()
-        _PPRD_CACHE[ck] = PPRDiffusion(alpha=0.2)(g, key)
-    return _PPRD_CACHE[ck]
+    if _PPRD_CACHE[0] is not g:
+        _PPRD_CACHE[0] = g
+        _PPRD_CACHE[1] = PPRDiffusion(alpha=0.2)(g, key)
+    return _PPRD_CACHE[1]
 
 
 @_with_feat_drop

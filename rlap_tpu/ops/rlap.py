@@ -128,6 +128,273 @@ def _batched_searchsorted_window(c, q, lo0, hi0, steps: int):
     return lo
 
 
+def _segmented_maxscan_rev(vals, heads):
+    """Per-segment running max from the RIGHT. When `vals` is nondecreasing
+    within each segment this broadcasts the segment-tail value to every slot
+    of the segment. `heads` marks segment starts."""
+    t1 = jnp.ones((1,), bool)
+    rv = vals[::-1]
+    rh = jnp.concatenate([t1, heads[1:][::-1]])
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.maximum(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(combine, (rv, rh))
+    return out[::-1]
+
+
+def _last_le_lookup(data_keys, query_keys):
+    """For each query, the index of the LAST data item whose key tuple is
+    lexicographically <= the query's (full ties count as <=); -1 if none.
+
+    TPU-native replacement for a per-element binary search (log2(E)
+    serialized e_cap-length gathers, the round body's dominant cost in
+    round 1): ONE merge sort of data+queries, a forward-fill scan, and one
+    unique-index scatter — ~5x cheaper at the bench size (measured in
+    tools/profile_rlap3.py).
+
+    data_keys / query_keys: tuples of equal-length key arrays, compared
+    lexicographically; on a full tie the data item sorts first, so an
+    exactly-matching data item IS counted as <=.
+    """
+    m = data_keys[0].shape[0]
+    k = query_keys[0].shape[0]
+    keys = tuple(jnp.concatenate([d, q])
+                 for d, q in zip(data_keys, query_keys))
+    tag = jnp.concatenate([jnp.zeros((m,), jnp.int32),
+                           jnp.ones((k,), jnp.int32)])
+    pos = jnp.concatenate([jnp.arange(m, dtype=jnp.int32),
+                           jnp.arange(k, dtype=jnp.int32)])
+    sorted_arrays = jax.lax.sort(keys + (tag, pos), num_keys=len(keys) + 1)
+    st, sp = sorted_arrays[-2], sorted_arrays[-1]
+    dataidx = jnp.where(st == 0, sp, -1)
+    filled = jax.lax.associative_scan(
+        lambda a, b: jnp.where(b >= 0, b, a), dataidx)
+    qslot = jnp.where(st == 1, sp, k)  # non-queries write to a trash slot
+    out = jnp.full((k + 1,), -1, jnp.int32).at[qslot].max(
+        jnp.where(st == 1, filled, -1))
+    return out[:k]
+
+
+def _eliminate_impl_fast(
+    senders, receivers, weights, key,
+    t,  # traced: number of vertices to eliminate
+    *,
+    n: int, o_v: str, schedule: str, subiters: int = 3,
+):
+    """One-sort-per-round elimination (o_n="random" semantics).
+
+    TPU-first redesign of the round body around three measured facts
+    (tools/profile_rlap3.py): XLA 1D gathers/searches are the slow primitive
+    (~2 ms per e_cap gather), sorts are cheap (~3 ms), segmented scans and
+    scatter-min are ~1 ms. Hence:
+
+    * ONE fused-key sort (key = sender*(n+1)+receiver) per round regroups
+      edges by column AND brings duplicate (s, r) pairs adjacent so the
+      `compressColumn` merge (reference `preconditioner.cc:641-676`) is a
+      segmented scan with no compaction scatter — non-tail duplicates become
+      zero-weight ghosts killed at write-back.
+    * Partner sampling and mirror lookup use `_last_le_lookup` (merge sort +
+      scan + scatter) instead of per-element binary searches.
+    * Column totals broadcast by a reversed segmented max-scan; per-node
+      neighbor minima by scatter-min (which also eliminates isolated
+      vertices: no incident edge -> nmin stays +inf -> immediate pop, like
+      the reference's PQ popping degree-0 columns).
+    * The independent set is enlarged by `subiters` Luby-style sub-rounds
+      (select minima, exclude their neighborhood, select again), which cuts
+      the round count ~3x (tools/sim_rounds.py) at ~2 scatter/gathers each.
+
+    Why no weight-ordered frame is needed: the reference's suffix-CDF
+    star->clique sampler (`preconditioner.cc:740-776`) is unbiased for ANY
+    fixed column order — for a pair (a, b) with a earlier in the order, only
+    a emits toward b, with probability v_b/S_a and weight v_a*S_a/csum, so
+    E[w(a,b)] = v_a*v_b/csum independent of the order (the f(1-f)
+    telescoping). o_n="asc"/"desc" change only the variance profile and are
+    served by the sorted-frame path (`_eliminate_impl`).
+    """
+    e_cap = senders.shape[0]
+    wdtype = weights.dtype
+    B = n + 1
+    if n * (n + 2) >= _INT_MAX:
+        raise ValueError("fast path requires n*(n+2) < 2^31; use sorted path")
+
+    key, kperm = jax.random.split(key)
+    perm = jax.random.permutation(kperm, n)
+    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+    if o_v == "random":
+        pending = pos < t  # first t of the permutation (preconditioner.cc:588-613)
+    else:
+        pending = jnp.ones((n,), bool)
+
+    state = dict(
+        senders=senders, receivers=receivers, weights=weights,
+        pending=pending, removed=jnp.zeros((), jnp.int32),
+        npend=jnp.sum(pending.astype(jnp.int32)),
+        key=key, rnd=jnp.zeros((), jnp.int32),
+    )
+
+    big = jnp.asarray(_INT_MAX, jnp.int32)
+    t1 = jnp.ones((1,), bool)
+    f_pad = jnp.zeros((1,), bool)
+
+    def cond(st):
+        return (st["npend"] > 0) & (st["removed"] < t)
+
+    def body(st):
+        pending = st["pending"]
+        rkey = jax.random.fold_in(st["key"], st["rnd"])
+
+        # ---- the one pool sort: fused (sender, receiver) key --------------
+        kappa = st["senders"] * B + st["receivers"]
+        kappa, w = jax.lax.sort((kappa, st["weights"]), num_keys=1)
+        s = kappa // B
+        r = kappa - s * B
+        real = s < n
+
+        # ---- in-place coalesce: tail of each duplicate run keeps the sum --
+        same = kappa[1:] == kappa[:-1]
+        head_dup = jnp.concatenate([t1, jnp.logical_not(same)])
+        is_tail = jnp.concatenate([jnp.logical_not(same), t1])
+        wsum = _segmented_cumsum(w, head_dup)
+        w = jnp.where(is_tail, wsum, jnp.zeros((), wdtype))
+        live = real & (w > 0)
+
+        # ---- degrees (live count per column) via one scatter-add ----------
+        deg = jnp.zeros((n + 1,), jnp.int32).at[s].add(
+            live.astype(jnp.int32))[:n]
+
+        # ---- round selection: Luby sub-rounds of (degree, pos) minima -----
+        if o_v == "random" and schedule == "luby":
+            prio = pos
+        else:
+            dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
+            prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
+
+        elim = jnp.zeros((n,), bool)
+        cand = pending
+        for it in range(max(1, subiters)):
+            pc_pad = jnp.concatenate([jnp.where(cand, prio, big),
+                                      jnp.full((1,), big, jnp.int32)])
+            nbr = jnp.where(live, pc_pad[r], big)
+            nmin = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
+            sel = cand & (prio < nmin)
+            elim = elim | sel
+            if it < subiters - 1:
+                sel_pad = jnp.concatenate([sel, f_pad])
+                nbrsel = jnp.zeros((n + 1,), bool).at[s].max(
+                    live & sel_pad[r])[:n]
+                cand = cand & jnp.logical_not(sel) & jnp.logical_not(nbrsel)
+
+        if o_v != "random":
+            # cap this round at the remaining budget, lowest priorities
+            # first — the PQ pop order
+            remaining = t - st["removed"]
+            sorted_prio = jnp.sort(jnp.where(elim, prio, big))
+            kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
+            elim = elim & (prio <= kth) & (remaining > 0)
+
+        b_count = jnp.sum(elim.astype(jnp.int32))
+        elim_pad = jnp.concatenate([elim, f_pad])
+        es = elim_pad[s]
+        er = elim_pad[r]
+
+        # ---- star->clique sampling in receiver order -----------------------
+        hs = jnp.concatenate([t1, s[1:] != s[:-1]])
+        vm = jnp.where(es & live, w, jnp.zeros((), wdtype))
+        cum = _segmented_cumsum(vm, hs)
+        csum = _segmented_maxscan_rev(cum, hs)
+        suffix = csum - cum
+
+        if o_v == "coarsen":
+            # single partner per column ~ v_k/csum; rewire the others onto
+            # it with harmonic weights (`preconditioner.cc:866-912`)
+            u_node = jax.random.uniform(rkey, (n + 1,), dtype=jnp.float32)
+            rv = u_node[jnp.clip(s, 0, n)].astype(wdtype) * csum
+            maybe = es & live & (csum > 0)
+        else:
+            u = jax.random.uniform(rkey, (e_cap,),
+                                   dtype=jnp.float32).astype(wdtype)
+            rv = cum + u * suffix
+            # the last live neighbor has cum == csum (suffix 0): it emits
+            # nothing, exactly the reference's dropped last edge (:778-784)
+            maybe = es & live & (suffix > 0)
+
+        # first column index with cum > rv == (last with (s, cum) <= (s, rv)
+        # lexicographically) + 1; ghosts never sit at an increase of cum so
+        # the found index is always a live edge
+        q = _last_le_lookup(
+            (s, cum), (jnp.where(maybe, s, n + 1),
+                       jnp.where(maybe, rv, jnp.zeros((), wdtype)))) + 1
+        q = jnp.clip(q, 0, e_cap - 1)
+        partner = r[q]
+
+        if o_v == "coarsen":
+            idx = jnp.arange(e_cap, dtype=jnp.int32)
+            w_k = w[q]
+            emit = maybe & (idx != q)
+            denom = jnp.where(w + w_k > 0, w + w_k, 1.0)
+            wnew = jnp.where(emit, w * w_k / denom, jnp.zeros((), wdtype))
+        else:
+            emit = maybe
+            csafe = jnp.where(csum > 0, csum, 1.0)
+            wnew = jnp.where(emit, w * suffix / csafe, jnp.zeros((), wdtype))
+
+        # ---- mirror lookup: exact-match (r, s) among the sorted kappa;
+        # the last-<= semantics lands on the duplicate-run tail, which is
+        # the real (weight-carrying) twin
+        mk = er & live  # receiver eliminated -> killed, maybe replaced
+        m = _last_le_lookup(
+            (kappa,), (jnp.where(mk, r * B + s, big),))
+        m = jnp.clip(m, 0, e_cap - 1)
+        # pack (emit, wnew) into one gather: wnew > 0 iff emit
+        mw = jnp.where(emit, wnew, jnp.asarray(-1.0, wdtype))
+        m_wnew = mw[m]
+        m_emit = m_wnew > 0
+        m_partner = partner[m]
+
+        # ---- write-back: pure selects ---------------------------------------
+        ghost = real & jnp.logical_not(live)
+        dead = ghost | (es & jnp.logical_not(emit)) | (
+            mk & jnp.logical_not(m_emit))
+        s_new = jnp.where(emit, r, jnp.where(mk & m_emit, m_partner, s))
+        r_new = jnp.where(emit, partner, jnp.where(mk & m_emit, s, r))
+        w_new = jnp.where(emit, wnew,
+                          jnp.where(mk & m_emit, m_wnew, w))
+        s_new = jnp.where(dead, n, s_new)
+        r_new = jnp.where(dead, n, r_new)
+        w_new = jnp.where(dead, jnp.zeros((), wdtype), w_new)
+
+        pending_next = pending & jnp.logical_not(elim)
+        return dict(
+            senders=s_new, receivers=r_new, weights=w_new,
+            pending=pending_next,
+            removed=st["removed"] + b_count,
+            npend=jnp.sum(pending_next.astype(jnp.int32)),
+            key=st["key"],
+            rnd=st["rnd"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return (out["senders"], out["receivers"], out["weights"],
+            out["removed"], out["rnd"])
+
+
+def _segmented_minscan(vals, heads):
+    """Inclusive per-segment running minimum (reset at head flags)."""
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
+
+    out, _ = jax.lax.associative_scan(combine, (vals, heads))
+    return out
+
+
 def _eliminate_impl(
     senders, receivers, weights, key,
     t,  # traced: number of vertices to eliminate
@@ -335,11 +602,21 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     # the reference never eliminates the last vertex
     # (`while(it <= t && it < n)`, preconditioner.cc:723)
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), g.num_nodes - 1)
-    s, r, w, removed, _rounds = _eliminate_impl(
-        gg.senders, gg.receivers, gg.weights, key, t,
-        n=g.num_nodes, o_v=o_v, o_n=o_n, schedule=schedule)
+    n = g.num_nodes
+    use_fast = (o_n == "random" or o_v == "coarsen") and n * (n + 2) < _INT_MAX
+    if use_fast:
+        s, r, w, removed, _rounds = _eliminate_impl_fast(
+            gg.senders, gg.receivers, gg.weights, key, t,
+            n=n, o_v=o_v, schedule=schedule)
+    else:
+        s, r, w, removed, _rounds = _eliminate_impl(
+            gg.senders, gg.receivers, gg.weights, key, t,
+            n=n, o_v=o_v, o_n=o_n, schedule=schedule)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=g.num_nodes,
                 x=g.x, node_mask=g.node_mask)
+    if use_fast:
+        # the fast path's last write-back leaves uncoalesced emissions
+        out = G.drop_zero_weight(G.coalesce(out))
     return out, removed, jnp.zeros((), bool)
 
 
