@@ -25,6 +25,9 @@ def log(*a):
 def main():
     import jax
 
+    from rlap_tpu.utils.compile_cache import setup_compilation_cache
+    setup_compilation_cache()
+
     from rlap_tpu.data.synthetic import barabasi_albert
     from rlap_tpu.native import oracle_approximate_cholesky
     from rlap_tpu.ops.rlap import eliminate

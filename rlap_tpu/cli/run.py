@@ -142,15 +142,40 @@ def main(argv=None):
                 eval_repeats=args.eval_repeats)
         return
 
-    # the reference grid (run_node_shared.sh:4-12), resumable
-    grid = dict(
-        augmentor=["rLap", "rLapRandomDesc", "rLapRandomRandom", "rLapDegree",
-                   "rLapCoarsen", "EdgeAddition", "EdgeDropping",
-                   "NodeDropping", "PPRDiffusion", "MarkovDiffusion"],
-        num_layers=[2, 4, 8],
-        lr=[1e-2, 1e-3, 1e-4],
-        hidden_dim=[128, 256, 512],
-    )
+    # the reference grids, resumable (skip-if-result-exists)
+    fracs = [0.1, 0.2, 0.3, 0.4, 0.5]  # run_*.sh fraction loops 0..0.5
+    if cfg.recipe in ("grace", "mvgrl"):
+        # run_node_shared.sh:4-12 / run_node_dedicated.sh
+        grid = dict(
+            augmentor=["rLap", "rLapRandomDesc", "rLapRandomRandom",
+                       "rLapDegree", "rLapCoarsen", "EdgeAddition",
+                       "EdgeDropping", "NodeDropping", "PPRDiffusion",
+                       "MarkovDiffusion"],
+            num_layers=[2, 4, 8],
+            lr=[1e-2, 1e-3, 1e-4],
+            hidden_dim=[128, 256, 512],
+            fraction1=fracs,
+            fraction2=fracs,
+        )
+    elif cfg.recipe in ("graphcl", "bgrl"):
+        # run_graph_shared.sh / run_graph_shared_g2l.sh: TU datasets x
+        # augmentors x fractions
+        grid = dict(
+            dataset=["PROTEINS_full", "MUTAG", "IMDB-BINARY", "IMDB-MULTI",
+                     "NCI1"],
+            augmentor=["rLap", "EdgeAddition", "EdgeDropping", "NodeDropping",
+                       "PPRDiffusion"],
+            fraction1=fracs,
+            fraction2=fracs,
+        )
+    else:
+        # CCA-SSG/run.sh: 10 augmentor functions x 3 datasets
+        grid = dict(
+            dataset=["CORA", "CITESEER", "AMAZON-COMPUTERS"],
+            augmentor=["random", "rlap", "ea", "nd", "markovd", "pprd",
+                       "rws", "ed_deg", "ed_ppr", "ed_evc"],
+            fraction1=fracs,
+        )
     for point in sweep(cfg, results_dir=args.results_dir, **grid):
         print(f"=== {point.run_name()} ===", file=sys.stderr, flush=True)
         run_one(point, results_dir=args.results_dir,

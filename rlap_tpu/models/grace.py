@@ -47,11 +47,17 @@ class GraceTrainer:
     def __init__(self, aug1, aug2, hidden_dim: int = 128,
                  num_layers: int = 2, lr: float = 1e-3,
                  weight_decay: float = 1e-5, tau: float = 0.2,
-                 block_size: int = 1024, seed: int = 0):
+                 block_size: int = 1024, seed: int = 0,
+                 loss: str = "auto"):
+        if loss == "auto":
+            # the fused Pallas InfoNCE keeps every similarity tile in VMEM;
+            # on other backends fall back to the lax.map row-blocked form
+            loss = ("infonce_fused" if jax.default_backend() == "tpu"
+                    else "infonce_batched")
         self.aug1, self.aug2 = aug1, aug2
         self.model = GRACE(hidden_dim, num_layers, hidden_dim)
         self.tx = torch_adam(lr, weight_decay)
-        self.contrast = DualBranchContrast(loss="infonce_batched", mode="L2L",
+        self.contrast = DualBranchContrast(loss=loss, mode="L2L",
                                            tau=tau, block_size=block_size)
         self.key = jax.random.PRNGKey(seed)
         self.params = None

@@ -4,10 +4,14 @@ TPU-native redesign of the reference's sequential C++ elimination engine
 (`rlap/csrc/preconditioner.cc`): instead of pointer-chased linked-list columns
 popped one vertex at a time, elimination proceeds in **rounds over independent
 sets** of vertices on a padded COO edge list with static shapes, entirely
-inside `jax.jit`. Processing is fully *edge-centric* — there is no dense
-per-column block, so there is no column-width cap, no overflow, and no
-recompile-and-retry escalation: a round's work is a few e_cap-length sorts,
-one segmented scan, and a static-depth batched binary search.
+inside `jax.jit`. Processing is fully *edge-centric*: a round's work is ONE
+pool sort (which pair-groups each touched edge with its mirror and merges
+duplicates in place), a handful of segmented scans/scatters, and one
+merge-based rank lookup for partner sampling — no dense per-column block, no
+per-element binary searches, and no scatters in the write-back (the sampled
+clique edge and its mirror overwrite the touched pair's own two slots, the
+reference's storage reuse `preconditioner.cc:761-772`). See
+`_eliminate_impl_fast` for the design and its measured-cost rationale.
 
 Why a round of an independent set is exact
 ------------------------------------------
@@ -54,12 +58,9 @@ total `csum`, inclusive prefix sums `cum_j`, and suffix sums
 Storage reuse mirrors the reference (`preconditioner.cc:761-772`): the d
 eliminated edges of a degree-d column (and their mirrors) are exactly the
 slots into which the d-1 sampled clique edges (and mirrors) are written, so a
-buffer of the input edge capacity always suffices. In the edge-centric
-layout the forward slot is the edge's *own* position (an elementwise select,
-no scatter at all) and the mirror slot is reached by *gathering* through the
-flip-index permutation (`preconditioner.cc:486-512`), which is an involution
-on a symmetric list — scatters, the slowest primitive on TPU, never appear
-in the round body.
+buffer of the input edge capacity always suffices. In the pair-grouped
+layout the forward slot is the run tail's own position and the mirror slot
+is the slot immediately before it — both elementwise selects/shifts.
 """
 
 from __future__ import annotations
@@ -145,6 +146,37 @@ def _segmented_maxscan_rev(vals, heads):
     return out[::-1]
 
 
+def _segmented_race_rev(x, o, v, heads):
+    """Reversed segmented min-scan of race keys `x` carrying payloads
+    (o, v): out[k] = (min, payloads-at-argmin) over slots >= k of the same
+    segment. `heads` marks segment starts (forward orientation)."""
+    t1 = jnp.ones((1,), bool)
+    rx, ro, rv_ = x[::-1], o[::-1], v[::-1]
+    rh = jnp.concatenate([t1, heads[1:][::-1]])
+
+    def combine(a, b):
+        xa, oa, va, fa = a
+        xb, ob, vb, fb = b
+        tb = fb | (xb <= xa)
+        return (jnp.where(tb, xb, xa), jnp.where(tb, ob, oa),
+                jnp.where(tb, vb, va), fa | fb)
+
+    ox, oo, ov, _ = jax.lax.associative_scan(combine, (rx, ro, rv_, rh))
+    return ox[::-1], oo[::-1], ov[::-1]
+
+
+def _segmented_headscan(vals, heads):
+    """Broadcast each segment head's value forward over its segment."""
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va), fa | fb
+
+    out, _ = jax.lax.associative_scan(combine, (vals, heads))
+    return out
+
+
 def _last_le_lookup(data_keys, query_keys):
     """For each query, the index of the LAST data item whose key tuple is
     lexicographically <= the query's (full ties count as <=); -1 if none.
@@ -183,42 +215,70 @@ def _eliminate_impl_fast(
     t,  # traced: number of vertices to eliminate
     *,
     n: int, o_v: str, schedule: str, subiters: int = 3,
+    sampler: str = "independent", compact: bool = True,
 ):
-    """One-sort-per-round elimination (o_n="random" semantics).
+    """Pair-grouped rounds-of-independent-sets elimination (o_n="random").
 
-    TPU-first redesign of the round body around three measured facts
-    (tools/profile_rlap3.py): XLA 1D gathers/searches are the slow primitive
-    (~2 ms per e_cap gather), sorts are cheap (~3 ms), segmented scans and
-    scatter-min are ~1 ms. Hence:
+    TPU-first redesign of the reference's sequential loop
+    (`preconditioner.cc:713-787`) built around measured TPU primitive costs
+    (tools/profile_rlap3.py): XLA 1D gathers are the slow primitive (~2 ms
+    per e_cap pass), sorts ~3 ms, segmented scans and scatter-min ~1 ms.
+    The round body therefore uses ONE full-pool sort, a handful of
+    scans/scatters, and zero per-element binary searches:
 
-    * ONE fused-key sort (key = sender*(n+1)+receiver) per round regroups
-      edges by column AND brings duplicate (s, r) pairs adjacent so the
-      `compressColumn` merge (reference `preconditioner.cc:641-676`) is a
-      segmented scan with no compaction scatter — non-tail duplicates become
-      zero-weight ghosts killed at write-back.
-    * Partner sampling and mirror lookup use `_last_le_lookup` (merge sort +
-      scan + scatter) instead of per-element binary searches.
-    * Column totals broadcast by a reversed segmented max-scan; per-node
-      neighbor minima by scatter-min (which also eliminates isolated
-      vertices: no incident edge -> nmin stays +inf -> immediate pop, like
-      the reference's PQ popping degree-0 columns).
-    * The independent set is enlarged by `subiters` Luby-style sub-rounds
-      (select minima, exclude their neighborhood, select again), which cuts
-      the round count ~3x (tools/sim_rounds.py) at ~2 scatter/gathers each.
-
-    Why no weight-ordered frame is needed: the reference's suffix-CDF
-    star->clique sampler (`preconditioner.cc:740-776`) is unbiased for ANY
-    fixed column order — for a pair (a, b) with a earlier in the order, only
-    a emits toward b, with probability v_b/S_a and weight v_a*S_a/csum, so
-    E[w(a,b)] = v_a*v_b/csum independent of the order (the f(1-f)
-    telescoping). o_n="asc"/"desc" change only the variance profile and are
-    served by the sorted-frame path (`_eliminate_impl`).
+    * **Pair grouping.** Every edge touching an eliminated vertex i is
+      sorted by the key rho = i*(n+1) + other, so the forward copy (i, j)
+      and its mirror (j, i) (plus any duplicate copies of either) land in
+      ONE adjacent run whose total is exactly 2*v_ij — the
+      `compressColumn` duplicate merge (preconditioner.cc:641-676) for
+      free. The run tail emits the sampled clique edge (j, k) and the slot
+      right before it emits the mirror (k, j) — the reference's
+      storage-pair reuse (preconditioner.cc:761-772) — so the mirror write
+      is a SHIFT, not a lookup. Untouched edges ride behind the touched
+      block (key = +inf) and pass through unchanged.
+    * **Touched-prefix compaction** (`compact=True`): each round's
+      independent set is budgeted so that its touched edges (exactly
+      sum 2*deg over the set) fit in a static prefix of length
+      ~edge_capacity/2; all per-edge heavy ops (scans, sampling, the merge
+      lookup) run on that prefix only. A set whose cheapest vertex alone
+      exceeds the budget raises the overflow flag (callers escalate by
+      re-running with compact=False).
+    * **Suffix-CDF sampling in run order.** The reference's sampler
+      (`preconditioner.cc:740-776`) is unbiased for ANY fixed column
+      order: for a pair (a, b) with a earlier, only a emits toward b, with
+      probability v_b/S_a and weight v_a*S_a/csum, so E[w(a,b)] =
+      v_a*v_b/csum by the f(1-f) telescoping. o_n="asc"/"desc" shape only
+      the variance and are served by the sorted-frame path
+      (`_eliminate_impl`). Two partner samplers:
+      - "independent" (default): per-neighbor independent inverse-CDF
+        draws located by a merge-based rank lookup (`_last_le_lookup`) —
+        matches the reference's distribution exactly;
+      - "race": one reversed segmented min-scan of Exp(1)/v_m keys. Exact
+        per-neighbor marginals but partners within a column are positively
+        correlated (they share race draws), which inflates the top
+        singular value of the output by ~20% on BA graphs. ~8 ms/round
+        cheaper; opt-in for throughput-bound augmentation.
+    * **Packed Luby selection.** Each of `subiters` sub-rounds grows the
+      independent set (strict (degree, pos) minima over remaining
+      candidates) with ONE gather + ONE scatter-min: the packed per-node
+      code -1 = "selected" propagates blocking and the candidate minimum
+      in the same reduction. Isolated vertices keep nmin = +inf and pop
+      immediately, like the reference PQ popping degree-0 columns.
+      Sub-rounds cut the round count ~3x (tools/sim_rounds.py).
     """
     e_cap = senders.shape[0]
     wdtype = weights.dtype
     B = n + 1
     if n * (n + 2) >= _INT_MAX:
         raise ValueError("fast path requires n*(n+2) < 2^31; use sorted path")
+    if sampler not in ("independent", "race"):
+        raise ValueError(f"unknown sampler {sampler!r}")
+
+    if compact:
+        e_t = min(e_cap, max(((e_cap // 2 + 1023) // 1024) * 1024, 1024))
+    else:
+        e_t = e_cap
+    compact = e_t < e_cap
 
     key, kperm = jax.random.split(key)
     perm = jax.random.permutation(kperm, n)
@@ -235,138 +295,182 @@ def _eliminate_impl_fast(
         pending=pending, removed=jnp.zeros((), jnp.int32),
         npend=jnp.sum(pending.astype(jnp.int32)),
         key=key, rnd=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), bool),
     )
 
     big = jnp.asarray(_INT_MAX, jnp.int32)
     t1 = jnp.ones((1,), bool)
-    f_pad = jnp.zeros((1,), bool)
+    f1 = jnp.zeros((1,), bool)
+    half = jnp.asarray(0.5, wdtype)
+    zero_w = jnp.zeros((), wdtype)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
 
     def cond(st):
-        return (st["npend"] > 0) & (st["removed"] < t)
+        return ((st["npend"] > 0) & (st["removed"] < t)
+                & jnp.logical_not(st["overflow"]))
 
     def body(st):
+        s, r, w = st["senders"], st["receivers"], st["weights"]
         pending = st["pending"]
         rkey = jax.random.fold_in(st["key"], st["rnd"])
+        live = s < n  # invariant: every real edge has w > 0 at round start
 
-        # ---- the one pool sort: fused (sender, receiver) key --------------
-        kappa = st["senders"] * B + st["receivers"]
-        kappa, w = jax.lax.sort((kappa, st["weights"]), num_keys=1)
-        s = kappa // B
-        r = kappa - s * B
-        real = s < n
-
-        # ---- in-place coalesce: tail of each duplicate run keeps the sum --
-        same = kappa[1:] == kappa[:-1]
-        head_dup = jnp.concatenate([t1, jnp.logical_not(same)])
-        is_tail = jnp.concatenate([jnp.logical_not(same), t1])
-        wsum = _segmented_cumsum(w, head_dup)
-        w = jnp.where(is_tail, wsum, jnp.zeros((), wdtype))
-        live = real & (w > 0)
-
-        # ---- degrees (live count per column) via one scatter-add ----------
+        # ---- degrees (duplicate copies counted, like the reference's
+        # lazily-decremented PQ degrees) ------------------------------------
         deg = jnp.zeros((n + 1,), jnp.int32).at[s].add(
             live.astype(jnp.int32))[:n]
 
-        # ---- round selection: Luby sub-rounds of (degree, pos) minima -----
         if o_v == "random" and schedule == "luby":
             prio = pos
         else:
             dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
             prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
 
+        # ---- packed Luby sub-rounds: one gather + one scatter-min each ----
         elim = jnp.zeros((n,), bool)
         cand = pending
+        sel = jnp.zeros((n,), bool)
         for it in range(max(1, subiters)):
-            pc_pad = jnp.concatenate([jnp.where(cand, prio, big),
-                                      jnp.full((1,), big, jnp.int32)])
-            nbr = jnp.where(live, pc_pad[r], big)
+            pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
+            pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
+            nbr = jnp.where(live, pack_pad[r], big)
             nmin = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
-            sel = cand & (prio < nmin)
+            sel = cand & (prio < nmin) & (nmin >= 0)
             elim = elim | sel
-            if it < subiters - 1:
-                sel_pad = jnp.concatenate([sel, f_pad])
-                nbrsel = jnp.zeros((n + 1,), bool).at[s].max(
-                    live & sel_pad[r])[:n]
-                cand = cand & jnp.logical_not(sel) & jnp.logical_not(nbrsel)
+            cand = cand & jnp.logical_not(sel) & (nmin >= 0)
 
         if o_v != "random":
-            # cap this round at the remaining budget, lowest priorities
-            # first — the PQ pop order
+            # cap this round at the remaining budget, lowest priority first
+            # — the PQ pop order
             remaining = t - st["removed"]
             sorted_prio = jnp.sort(jnp.where(elim, prio, big))
             kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
             elim = elim & (prio <= kth) & (remaining > 0)
 
-        b_count = jnp.sum(elim.astype(jnp.int32))
-        elim_pad = jnp.concatenate([elim, f_pad])
-        es = elim_pad[s]
-        er = elim_pad[r]
+        overflow = st["overflow"]
+        if compact:
+            # trim the set (cheapest prio first) so its touched edges —
+            # exactly sum 2*deg(i) over the set — fit the static prefix
+            prs, nodes = jax.lax.sort(
+                (jnp.where(elim, prio, big), iota_n), num_keys=1)
+            cost = jnp.where(prs < big, 2 * deg[nodes], 0)
+            fits = (jnp.cumsum(cost) <= e_t) & (prs < big)
+            elim = jnp.zeros((n,), bool).at[nodes].max(fits)
+            overflow = overflow | ((prs[0] < big)
+                                   & jnp.logical_not(fits[0]))
 
-        # ---- star->clique sampling in receiver order -----------------------
-        hs = jnp.concatenate([t1, s[1:] != s[:-1]])
-        vm = jnp.where(es & live, w, jnp.zeros((), wdtype))
-        cum = _segmented_cumsum(vm, hs)
+        b_count = jnp.sum(elim.astype(jnp.int32))
+        elim_pad = jnp.concatenate([elim, f1])
+        es = elim_pad[s] & live
+        er = elim_pad[r] & live
+
+        # ---- the one pool sort: touched edges pair-grouped by their
+        # eliminated endpoint, untouched edges ride to the tail -------------
+        rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
+        kap = s * B + r  # identity payload (padding decodes to (n, n))
+        rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
+
+        # untouched suffix passes through unchanged
+        kap_t = kap[e_t:]
+        w_t = w[e_t:]
+        rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
+
+        touched = rho_p < big
+        owner = jnp.where(touched, rho_p // B, n)
+        other = jnp.where(touched, rho_p - owner * B, n)
+
+        # ---- runs: forward copy + mirror copy (+ dups) share one rho ------
+        same = rho_p[1:] == rho_p[:-1]
+        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
+        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
+        # pre-tail: the slot immediately before its run's tail (runs always
+        # have >= 2 members: the forward and the mirror copy)
+        is_pre = jnp.concatenate([same & is_tail[1:], f1])
+        run_sum = _segmented_cumsum(w_p, head_run)
+        v = jnp.where(is_tail, run_sum * half, zero_w)  # column weight v_ij
+
+        # ---- suffix-CDF sampling over run tails within each owner column --
+        hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
+        cum = _segmented_cumsum(v, hs)
         csum = _segmented_maxscan_rev(cum, hs)
         suffix = csum - cum
 
         if o_v == "coarsen":
-            # single partner per column ~ v_k/csum; rewire the others onto
-            # it with harmonic weights (`preconditioner.cc:866-912`)
-            u_node = jax.random.uniform(rkey, (n + 1,), dtype=jnp.float32)
-            rv = u_node[jnp.clip(s, 0, n)].astype(wdtype) * csum
-            maybe = es & live & (csum > 0)
+            # one partner per whole column ~ v_k/csum; every other neighbor
+            # rewires onto it with harmonic weights (preconditioner.cc:866-912):
+            # broadcast the column-wide exponential-race winner forward
+            eu = jnp.maximum(
+                jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
+                jnp.asarray(1e-12, jnp.float32))
+            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
+                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
+                                                           jnp.float32))
+            _, race_o, race_v = _segmented_race_rev(race_x, other, v, hs)
+            partner = _segmented_headscan(jnp.where(hs, race_o, 0), hs)
+            w_k = _segmented_headscan(jnp.where(hs, race_v, zero_w), hs)
+            # the winner's own edge (i, k) is zeroed (preconditioner.cc:879-882)
+            emit = is_tail & (csum > 0) & (other != partner)
+            denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
+            wnew = jnp.where(emit, v * w_k / denom, zero_w)
+        elif sampler == "race":
+            # suffix sample via exponential race: min over later tails of
+            # Exp(1)/v_m picks m with probability v_m/S_j — exact marginals,
+            # positively correlated within a column (see docstring)
+            eu = jnp.maximum(
+                jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
+                jnp.asarray(1e-12, jnp.float32))
+            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
+                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
+                                                           jnp.float32))
+            _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
+            partner = jnp.concatenate([race_o[1:],
+                                       jnp.full((1,), n, jnp.int32)])
+            emit = is_tail & (suffix > 0)
+            csafe = jnp.where(csum > 0, csum, 1.0)
+            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
         else:
-            u = jax.random.uniform(rkey, (e_cap,),
+            # independent per-neighbor inverse-CDF draws, located by one
+            # merge-based rank lookup (first tail with cum > rv)
+            u = jax.random.uniform(rkey, (e_t,),
                                    dtype=jnp.float32).astype(wdtype)
             rv = cum + u * suffix
-            # the last live neighbor has cum == csum (suffix 0): it emits
-            # nothing, exactly the reference's dropped last edge (:778-784)
-            maybe = es & live & (suffix > 0)
-
-        # first column index with cum > rv == (last with (s, cum) <= (s, rv)
-        # lexicographically) + 1; ghosts never sit at an increase of cum so
-        # the found index is always a live edge
-        q = _last_le_lookup(
-            (s, cum), (jnp.where(maybe, s, n + 1),
-                       jnp.where(maybe, rv, jnp.zeros((), wdtype)))) + 1
-        q = jnp.clip(q, 0, e_cap - 1)
-        partner = r[q]
-
-        if o_v == "coarsen":
-            idx = jnp.arange(e_cap, dtype=jnp.int32)
-            w_k = w[q]
-            emit = maybe & (idx != q)
-            denom = jnp.where(w + w_k > 0, w + w_k, 1.0)
-            wnew = jnp.where(emit, w * w_k / denom, jnp.zeros((), wdtype))
-        else:
-            emit = maybe
+            # rv can round UP to csum in f32; keep it strictly inside the
+            # column so the lookup can never escape into the next column
+            rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
+            emit = is_tail & (suffix > 0)
+            q = _last_le_lookup(
+                (owner, cum),
+                (jnp.where(emit, owner, n + 1),
+                 jnp.where(emit, rv, zero_w))) + 1
+            q = jnp.clip(q, 0, e_t - 1)
+            partner = other[q]
             csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, w * suffix / csafe, jnp.zeros((), wdtype))
+            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
 
-        # ---- mirror lookup: exact-match (r, s) among the sorted kappa;
-        # the last-<= semantics lands on the duplicate-run tail, which is
-        # the real (weight-carrying) twin
-        mk = er & live  # receiver eliminated -> killed, maybe replaced
-        m = _last_le_lookup(
-            (kappa,), (jnp.where(mk, r * B + s, big),))
-        m = jnp.clip(m, 0, e_cap - 1)
-        # pack (emit, wnew) into one gather: wnew > 0 iff emit
-        mw = jnp.where(emit, wnew, jnp.asarray(-1.0, wdtype))
-        m_wnew = mw[m]
-        m_emit = m_wnew > 0
-        m_partner = partner[m]
+        # ---- write-back: tail -> (other, partner), pre-tail -> the mirror
+        # (partner, other) read from its right neighbor via a shift ---------
+        emit_p = jnp.concatenate([emit[1:], f1]) & is_pre
+        partner_p = jnp.concatenate([partner[1:],
+                                     jnp.zeros((1,), jnp.int32)])
+        other_p = jnp.concatenate([other[1:], jnp.zeros((1,), jnp.int32)])
+        wnew_p = jnp.concatenate([wnew[1:], jnp.zeros((1,), wdtype)])
 
-        # ---- write-back: pure selects ---------------------------------------
-        ghost = real & jnp.logical_not(live)
-        dead = ghost | (es & jnp.logical_not(emit)) | (
-            mk & jnp.logical_not(m_emit))
-        s_new = jnp.where(emit, r, jnp.where(mk & m_emit, m_partner, s))
-        r_new = jnp.where(emit, partner, jnp.where(mk & m_emit, s, r))
-        w_new = jnp.where(emit, wnew,
-                          jnp.where(mk & m_emit, m_wnew, w))
-        s_new = jnp.where(dead, n, s_new)
-        r_new = jnp.where(dead, n, r_new)
-        w_new = jnp.where(dead, jnp.zeros((), wdtype), w_new)
+        ks = kap_p // B
+        kr = kap_p - ks * B
+        s_new = jnp.where(touched,
+                          jnp.where(emit, other,
+                                    jnp.where(emit_p, partner_p, n)), ks)
+        r_new = jnp.where(touched,
+                          jnp.where(emit, partner,
+                                    jnp.where(emit_p, other_p, n)), kr)
+        w_new = jnp.where(touched,
+                          jnp.where(emit, wnew,
+                                    jnp.where(emit_p, wnew_p, zero_w)), w_p)
+
+        ks_t = kap_t // B
+        s_new = jnp.concatenate([s_new, ks_t])
+        r_new = jnp.concatenate([r_new, kap_t - ks_t * B])
+        w_new = jnp.concatenate([w_new, w_t])
 
         pending_next = pending & jnp.logical_not(elim)
         return dict(
@@ -376,11 +480,12 @@ def _eliminate_impl_fast(
             npend=jnp.sum(pending_next.astype(jnp.int32)),
             key=st["key"],
             rnd=st["rnd"] + 1,
+            overflow=overflow,
         )
 
     out = jax.lax.while_loop(cond, body, state)
     return (out["senders"], out["receivers"], out["weights"],
-            out["removed"], out["rnd"])
+            out["removed"], out["rnd"], out["overflow"])
 
 
 def _segmented_minscan(vals, heads):
@@ -581,16 +686,20 @@ def _eliminate_impl(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("o_v", "o_n", "schedule", "b_cap", "d_cap"))
+    static_argnames=("o_v", "o_n", "schedule", "b_cap", "d_cap", "sampler",
+                     "compact", "subiters"))
 def eliminate(g: Graph, key: jax.Array, num_remove,
               o_v: str = "random", o_n: str = "random",
               schedule: str = "fast",
-              b_cap: Optional[int] = None, d_cap: Optional[int] = None):
+              b_cap: Optional[int] = None, d_cap: Optional[int] = None,
+              sampler: str = "independent", compact: bool = True,
+              subiters: int = 3):
     """Jittable core: returns (schur_graph, removed_count, overflow_flag).
 
-    `b_cap`/`d_cap` are accepted for backward compatibility and ignored —
-    the edge-centric round body has no column-width or batch-size caps, so
-    `overflow` is always False.
+    `b_cap`/`d_cap` are accepted for backward compatibility and ignored.
+    `overflow` is True only when `compact` round-budgeting could not fit a
+    single vertex's column into the static prefix (re-run with
+    compact=False, which has no caps).
     """
     del b_cap, d_cap
     if schedule not in _VALID_SCHEDULE:
@@ -605,19 +714,21 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     n = g.num_nodes
     use_fast = (o_n == "random" or o_v == "coarsen") and n * (n + 2) < _INT_MAX
     if use_fast:
-        s, r, w, removed, _rounds = _eliminate_impl_fast(
+        s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
             gg.senders, gg.receivers, gg.weights, key, t,
-            n=n, o_v=o_v, schedule=schedule)
+            n=n, o_v=o_v, schedule=schedule, sampler=sampler,
+            compact=compact, subiters=subiters)
     else:
         s, r, w, removed, _rounds = _eliminate_impl(
             gg.senders, gg.receivers, gg.weights, key, t,
             n=n, o_v=o_v, o_n=o_n, schedule=schedule)
+        overflow = jnp.zeros((), bool)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=g.num_nodes,
                 x=g.x, node_mask=g.node_mask)
     if use_fast:
         # the fast path's last write-back leaves uncoalesced emissions
         out = G.drop_zero_weight(G.coalesce(out))
-    return out, removed, jnp.zeros((), bool)
+    return out, removed, overflow
 
 
 def approximate_cholesky(
@@ -628,18 +739,19 @@ def approximate_cholesky(
     o_n: str = "random",
     d_cap: Optional[int] = None,
     b_cap: Optional[int] = None,
-    max_escalations: int = 0,
+    max_escalations: int = 1,
     schedule: str = "fast",
 ) -> Graph:
     """Compute a randomized Schur complement of `g` after removing
     `num_remove` vertices — API parity with `rlap.ops.approximate_cholesky`
     (reference `rlap/ops.py:7-58`), graph-in / graph-out.
 
-    `d_cap`/`b_cap`/`max_escalations` are accepted for backward
-    compatibility; the edge-centric kernel has no capacity caps so no
-    escalation ever happens.
+    `d_cap`/`b_cap` are accepted for backward compatibility and ignored.
+    If compact round-budgeting overflows (a single column larger than the
+    static per-round prefix — star-like graphs), one escalation re-runs
+    with budgeting off, which has no caps.
     """
-    del d_cap, b_cap, max_escalations
+    del d_cap, b_cap
     if o_v not in _VALID_O_V:
         raise ValueError(f"o_v must be one of {_VALID_O_V}, got {o_v!r}")
     if o_n not in _VALID_O_N:
@@ -647,6 +759,10 @@ def approximate_cholesky(
     num_remove = int(num_remove)
     if num_remove <= 0:
         return G.coalesce(G.drop_zero_weight(G.remove_self_loops(g)))
-    out, _removed, _overflow = eliminate(
+    out, _removed, overflow = eliminate(
         g, key, num_remove, o_v=o_v, o_n=o_n, schedule=schedule)
+    if max_escalations > 0 and bool(overflow):
+        out, _removed, _ = eliminate(
+            g, key, num_remove, o_v=o_v, o_n=o_n, schedule=schedule,
+            compact=False)
     return out

@@ -24,6 +24,46 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devs[:n]), (axis_name,))
 
 
+def make_mesh_2level(replica: Optional[int] = None,
+                     data: Optional[int] = None,
+                     axis_names=("replica", "data")) -> Mesh:
+    """Two-level ("replica", "data") mesh for multi-host topologies.
+
+    The outer "replica" axis maps onto the slow interconnect (DCN across
+    hosts when `jax.process_count() > 1`, else a slice of ICI) and carries
+    data-parallel gradient psums; the inner "data" axis rides ICI and
+    carries the edge-partitioned graph collectives (all_to_all / pmin) of
+    the distributed rLap kernel and sharded SpMM. Per the scaling-book
+    recipe, the device order from `jax.devices()` already enumerates
+    ICI-adjacent devices contiguously, so reshaping [replica, data] puts
+    the chatty inner axis on ICI.
+    """
+    devs = jax.devices()
+    nproc = jax.process_count()
+    if replica is None:
+        replica = nproc if nproc > 1 else 1
+    if data is None:
+        data = len(devs) // replica
+    if replica * data > len(devs):
+        raise ValueError(
+            f"mesh {replica}x{data} needs {replica * data} devices, "
+            f"have {len(devs)}")
+    grid = np.asarray(devs[:replica * data]).reshape(replica, data)
+    return Mesh(grid, tuple(axis_names))
+
+
+def init_distributed() -> int:
+    """Initialize `jax.distributed` when launched under a multi-host
+    coordinator (JAX_COORDINATOR_ADDRESS set); no-op single-host.
+    Returns the process count."""
+    import os
+
+    if (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            and jax.process_count() == 1):
+        jax.distributed.initialize()
+    return jax.process_count()
+
+
 def graph_shardings(mesh: Mesh, axis: str = "data"):
     """Shardings for a Graph pytree: edge arrays sharded along the edge axis,
     features sharded along nodes, node_mask sharded along nodes."""

@@ -1,0 +1,299 @@
+"""Distributed rLap: edge-partitioned randomized Schur complement across a
+device mesh.
+
+The multi-chip formulation of the elimination kernel (SURVEY.md §2.3
+"Distributed rLap"; reference semantics `rlap/csrc/preconditioner.cc:713-787`).
+Edges are partitioned by sender block (`parallel/partition.py`), so for any
+vertex i the whole column (i, *) is local to owner(i):
+
+* **Selection is replicated.** Degrees and neighbor-minima are complete for
+  owned nodes locally (one scatter-add / scatter-min over local edges) and
+  combined with `psum`/`pmin` into replicated n-vectors; every shard then
+  computes the same independent set (same PRNG key -> same permutation).
+* **Elimination is shard-local.** Each shard groups its eliminated owned
+  columns with one local sort and runs the same suffix-CDF star->clique
+  sampler as the single-chip kernel (see `ops/rlap.py`).
+* **Emissions are routed.** A sampled clique edge (j, k) belongs on
+  owner(j) and its mirror (k, j) on owner(k); records are bucketed by
+  destination with a local sort and exchanged with ONE `all_to_all` per
+  round — the boundary-clique exchange. Mirror kills are local (the
+  eliminated mask is replicated).
+* **Coalescing stays shard-local**: duplicates of (i, j) all live on
+  owner(i) and merge in the next round's grouping sort, with the same
+  ghost-run trick as the single-chip kernel.
+
+The single-chip kernel's in-place mirror-pair write is exactly this
+exchange specialized to P=1.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rlap_tpu.core import graph as G
+from rlap_tpu.core.graph import Graph
+from rlap_tpu.ops.rlap import (_INT_MAX, _last_le_lookup, _segmented_cumsum,
+                               _segmented_maxscan_rev)
+
+
+def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
+                            axis: str, o_v: str, subiters: int,
+                            slack: int = 2):
+    """Per-shard body run under shard_map. s/r/w: the shard's local edges
+    (senders all in this shard's node block). Returns local edge arrays of
+    the Schur complement plus (removed, rounds, overflow) replicated
+    scalars.
+
+    `slack` multiplies the per-shard capacity: clique emissions concentrate
+    on high-degree survivors, so a shard's pool can grow past its input
+    edge count even though the global edge count shrinks.
+    """
+    in_cap = s.shape[0]
+    cap = slack * in_cap
+    pad = cap - in_cap
+    s = jnp.concatenate([s, jnp.full((pad,), n, s.dtype)])
+    r = jnp.concatenate([r, jnp.full((pad,), n, r.dtype)])
+    w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+    wdtype = w.dtype
+    B = n + 1
+    big = jnp.asarray(_INT_MAX, jnp.int32)
+    t1 = jnp.ones((1,), bool)
+    f1 = jnp.zeros((1,), bool)
+    zero_w = jnp.zeros((), wdtype)
+    shard = jax.lax.axis_index(axis)
+
+    # identical on every shard: same key -> same permutation/pending
+    key, kperm = jax.random.split(key)
+    perm = jax.random.permutation(kperm, n)
+    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    if o_v == "random":
+        pending = pos < t
+    else:
+        pending = jnp.ones((n,), bool)
+
+    state = dict(
+        s=s, r=r, w=w, pending=pending,
+        removed=jnp.zeros((), jnp.int32),
+        npend=jnp.sum(pending.astype(jnp.int32)),
+        rnd=jnp.zeros((), jnp.int32),
+        # device-varying from round 1 (per-shard routing overflow): mark it
+        # varying up front so the while_loop carry types match
+        overflow=jax.lax.pcast(jnp.zeros((), bool), (axis,), to='varying'),
+    )
+
+    def cond(st):
+        return (st["npend"] > 0) & (st["removed"] < t)
+
+    def body(st):
+        s, r, w = st["s"], st["r"], st["w"]
+        pending = st["pending"]
+        rkey = jax.random.fold_in(key, st["rnd"])
+        ukey = jax.random.fold_in(rkey, shard)
+        live = s < n
+
+        # ---- replicated degree: local scatter-add + psum -----------------
+        deg_part = jnp.zeros((n + 1,), jnp.int32).at[s].add(
+            live.astype(jnp.int32))[:n]
+        deg = jax.lax.psum(deg_part, axis)
+
+        dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
+        prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
+
+        # ---- packed Luby sub-rounds with pmin-combined neighbor minima ---
+        elim = jnp.zeros((n,), bool)
+        cand = pending
+        sel = jnp.zeros((n,), bool)
+        for it in range(max(1, subiters)):
+            pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
+            pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
+            nbr = jnp.where(live, pack_pad[r], big)
+            nmin_part = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
+            nmin = jax.lax.pmin(nmin_part, axis)
+            sel = cand & (prio < nmin) & (nmin >= 0)
+            elim = elim | sel
+            cand = cand & jnp.logical_not(sel) & (nmin >= 0)
+
+        if o_v != "random":
+            remaining = t - st["removed"]
+            sorted_prio = jnp.sort(jnp.where(elim, prio, big))
+            kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
+            elim = elim & (prio <= kth) & (remaining > 0)
+
+        b_count = jnp.sum(elim.astype(jnp.int32))
+        elim_pad = jnp.concatenate([elim, f1])
+        es = elim_pad[s] & live
+        er = elim_pad[r] & live
+
+        # ---- group eliminated local columns; merge duplicate copies ------
+        rho = jnp.where(es, s * B + r, big)
+        kap = s * B + r
+        keep_w = jnp.where(es | er, zero_w, w)   # survivors keep weight
+        rho_s, kap_s, w_s, keep_s = jax.lax.sort(
+            (rho, kap, w, keep_w), num_keys=1)
+        touched = rho_s < big
+        owner_col = jnp.where(touched, rho_s // B, n)
+        other = jnp.where(touched, rho_s - owner_col * B, n)
+
+        same = rho_s[1:] == rho_s[:-1]
+        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
+        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
+        run_sum = _segmented_cumsum(w_s, head_run)
+        v = jnp.where(is_tail, run_sum, zero_w)
+
+        hs = jnp.concatenate([t1, owner_col[1:] != owner_col[:-1]])
+        cum = _segmented_cumsum(v, hs)
+        csum = _segmented_maxscan_rev(cum, hs)
+        suffix = csum - cum
+
+        if o_v == "coarsen":
+            u_node = jax.random.uniform(rkey, (n + 1,), dtype=jnp.float32)
+            rv = u_node[jnp.clip(owner_col, 0, n)].astype(wdtype) * csum
+            maybe = is_tail & (csum > 0)
+        else:
+            u = jax.random.uniform(ukey, (cap,), dtype=jnp.float32
+                                   ).astype(wdtype)
+            rv = cum + u * suffix
+            maybe = is_tail & (suffix > 0)
+        rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
+
+        q = _last_le_lookup(
+            (owner_col, cum),
+            (jnp.where(maybe, owner_col, n + 1),
+             jnp.where(maybe, rv, zero_w))) + 1
+        q = jnp.clip(q, 0, cap - 1)
+        partner = other[q]
+
+        if o_v == "coarsen":
+            idx = jnp.arange(cap, dtype=jnp.int32)
+            w_k = v[q]
+            emit = maybe & (idx != q)
+            denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
+            wnew = jnp.where(emit, v * w_k / denom, zero_w)
+        else:
+            emit = maybe
+            csafe = jnp.where(csum > 0, csum, 1.0)
+            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+
+        # ---- route emissions: (other, partner) -> owner(other),
+        #      (partner, other) -> owner(partner) -------------------------
+        block = -(-n // num_shards)
+        e_s = jnp.concatenate([jnp.where(emit, other, n),
+                               jnp.where(emit, partner, n)])
+        e_r = jnp.concatenate([jnp.where(emit, partner, n),
+                               jnp.where(emit, other, n)])
+        e_w = jnp.concatenate([wnew, wnew])
+        dest = jnp.where(e_s < n,
+                         jnp.minimum(e_s // block, num_shards - 1),
+                         num_shards)
+        ekap = jnp.where(e_s < n, e_s * B + e_r, n * B + n)
+        # bucket by destination with one local sort, then place each record
+        # at (dest, rank-within-dest) in the exchange buffer. Typical
+        # per-destination traffic is ~4*in_cap/P (emissions spread over
+        # shards); the buffer holds 8x that and overflow is flagged.
+        cap_route = max(min(8 * (2 * cap) // max(num_shards, 1), 2 * cap),
+                        128)
+        dsort, ksort, wsort = jax.lax.sort((dest, ekap, e_w), num_keys=1)
+        didx = jnp.arange(2 * cap, dtype=jnp.int32)
+        dstart = jnp.searchsorted(dsort, jnp.arange(num_shards + 1,
+                                                    dtype=jnp.int32),
+                                  side="left").astype(jnp.int32)
+        rank = didx - dstart[jnp.clip(dsort, 0, num_shards)]
+        slot = jnp.where(dsort < num_shards,
+                         dsort * cap_route + jnp.minimum(rank, cap_route - 1),
+                         num_shards * cap_route)
+        over_route = jnp.any((rank >= cap_route) & (dsort < num_shards))
+        buf_k = jnp.full((num_shards * cap_route + 1,), n * B + n,
+                         jnp.int32).at[slot].set(ksort)[:-1]
+        buf_w = jnp.zeros((num_shards * cap_route + 1,),
+                          wdtype).at[slot].set(wsort)[:-1]
+        recv_k = jax.lax.all_to_all(buf_k.reshape(num_shards, cap_route),
+                                    axis, split_axis=0, concat_axis=0,
+                                    tiled=False)
+        recv_w = jax.lax.all_to_all(buf_w.reshape(num_shards, cap_route),
+                                    axis, split_axis=0, concat_axis=0,
+                                    tiled=False)
+        recv_k = recv_k.reshape(-1)
+        recv_w = recv_w.reshape(-1)
+
+        # ---- merge survivors + received, keep the cap lowest keys --------
+        surv_k = jnp.where(keep_s > 0, kap_s, n * B + n)
+        surv_w = jnp.where(keep_s > 0, keep_s, zero_w)
+        all_k = jnp.concatenate([surv_k, recv_k])
+        all_w = jnp.concatenate([surv_w, recv_w])
+        all_k, all_w = jax.lax.sort((all_k, all_w), num_keys=1)
+        new_k = all_k[:cap]
+        new_w = all_w[:cap]
+        over_cap = jnp.any(all_k[cap:] < n * B + n)
+        s_new = new_k // B
+        r_new = new_k - s_new * B
+        w_new = jnp.where(s_new < n, new_w, zero_w)
+
+        pending_next = pending & jnp.logical_not(elim)
+        return dict(
+            s=s_new, r=r_new, w=w_new,
+            pending=pending_next,
+            removed=st["removed"] + b_count,
+            npend=jnp.sum(pending_next.astype(jnp.int32)),
+            rnd=st["rnd"] + 1,
+            overflow=st["overflow"] | over_route | over_cap,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    overflow = jax.lax.pmax(out["overflow"].astype(jnp.int32), axis) > 0
+    return (out["s"], out["r"], out["w"], out["removed"], out["rnd"],
+            overflow)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n", "mesh", "axis", "o_v", "subiters",
+                                    "slack"))
+def _eliminate_sharded_jit(senders, receivers, weights, key, t, n,
+                           mesh: Mesh, axis: str, o_v: str, subiters: int,
+                           slack: int = 2):
+    num_shards = mesh.shape[axis]
+    fn = shard_map(
+        functools.partial(_eliminate_local_rounds, n=int(n),
+                          num_shards=num_shards, axis=axis, o_v=o_v,
+                          subiters=subiters, slack=slack),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
+    )
+    return fn(senders, receivers, weights, key, t)
+
+
+def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
+                      axis: str = "data", o_v: str = "random",
+                      subiters: int = 3,
+                      slack: int = 2) -> Tuple[Graph, jax.Array, jax.Array]:
+    """Multi-chip `eliminate` (o_n="random" semantics). The graph's edge
+    arrays must be arranged by `partition_edges_by_sender(g, num_shards)` so
+    shard p's slice holds exactly the edges whose sender is in node block p.
+
+    Returns (schur_graph, removed_count, overflow_flag). The output keeps
+    the sender-block arrangement (each shard's slice still holds only edges
+    of its node block) but is NOT coalesced across duplicate survivors of
+    the final round; run `core.graph.coalesce` on it (or keep feeding it to
+    shard-local consumers — SpMM is insensitive to duplicates since
+    segment-sum adds them).
+    """
+    if o_v not in ("random", "degree", "coarsen"):
+        raise ValueError(f"unsupported o_v {o_v!r}")
+    n = g.num_nodes
+    if n * (n + 2) >= _INT_MAX:
+        raise ValueError("sharded kernel requires n*(n+2) < 2^31")
+    t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), n - 1)
+    s, r, w, removed, _rounds, overflow = _eliminate_sharded_jit(
+        g.senders, g.receivers, g.weights, key, t, n, mesh=mesh, axis=axis,
+        o_v=o_v, subiters=subiters, slack=slack)
+    out = Graph(senders=s, receivers=r, weights=w, num_nodes=n, x=g.x,
+                node_mask=g.node_mask)
+    return out, removed, overflow

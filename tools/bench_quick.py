@@ -1,4 +1,4 @@
-"""Quick sanity bench: time the rLap kernel with a forced value fetch each
+"""Quick sanity bench (v2): time the rLap kernel with a forced value fetch each
 rep (guards against async remote backends where block_until_ready may not
 actually synchronize)."""
 
@@ -24,22 +24,31 @@ def main():
     print(f"devices: {jax.devices()}, edges={e_live}", flush=True)
     key = jax.random.PRNGKey(0)
 
+    import functools
+    import jax.numpy as jnp
+    from rlap_tpu.ops.rlap import _eliminate_impl_fast
+    from rlap_tpu.core import graph as G
+    gg = G.drop_zero_weight(G.coalesce(G.remove_self_loops(g)))
+    f = jax.jit(functools.partial(
+        _eliminate_impl_fast, n=n, o_v="random", schedule="fast"))
+
     def run(seed):
-        out, removed, overflow = eliminate(
-            g, jax.random.fold_in(key, seed), t, o_v="random", o_n="random")
-        return out.weights.sum(), removed
+        s, r, w, removed, rounds, overflow = f(
+            gg.senders, gg.receivers, gg.weights,
+            jax.random.fold_in(key, seed), t)
+        return w.sum(), removed, rounds
 
     t0 = time.perf_counter()
-    wsum, removed = run(0)
+    wsum, removed, rounds = run(0)
     wsum_v, removed_v = float(wsum), int(removed)
     print(f"first call (compile+run+fetch): {time.perf_counter()-t0:.1f}s "
-          f"wsum={wsum_v:.2f} removed={removed_v}", flush=True)
+          f"wsum={wsum_v:.2f} removed={removed_v} rounds={int(rounds)}", flush=True)
 
     # timed with per-rep fetch
     reps = 5
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
-        wsum, removed = run(i)
+        wsum, removed, rounds = run(i)
         wsum_v = float(wsum)
     dt = (time.perf_counter() - t0) / reps
     print(f"per-call (with fetch): {dt*1e3:.1f} ms -> "
@@ -48,7 +57,7 @@ def main():
     # timed with only block_until_ready (the round-1 bench pattern)
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
-        wsum, removed = run(i)
+        wsum, removed, rounds = run(i)
     jax.block_until_ready(wsum)
     dt2 = (time.perf_counter() - t0) / reps
     print(f"per-call (block only):  {dt2*1e3:.1f} ms", flush=True)
