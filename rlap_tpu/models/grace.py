@@ -14,6 +14,8 @@ one fused jit step.
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -29,9 +31,11 @@ class GRACE(nn.Module):
     hidden_dim: int = 128
     num_layers: int = 2
     proj_dim: int = 128
+    mesh: Optional[object] = None
 
     def setup(self):
-        self.encoder = GCNEncoder(self.hidden_dim, self.num_layers)
+        self.encoder = GCNEncoder(self.hidden_dim, self.num_layers,
+                                  mesh=self.mesh)
         self.project = ProjectionHead(self.proj_dim, self.hidden_dim)
 
     def __call__(self, g1: Graph, g2: Graph):
@@ -48,14 +52,15 @@ class GraceTrainer:
                  num_layers: int = 2, lr: float = 1e-3,
                  weight_decay: float = 1e-5, tau: float = 0.2,
                  block_size: int = 1024, seed: int = 0,
-                 loss: str = "auto"):
+                 loss: str = "auto", mesh=None):
         if loss == "auto":
             # the fused Pallas InfoNCE keeps every similarity tile in VMEM;
             # on other backends fall back to the lax.map row-blocked form
             loss = ("infonce_fused" if jax.default_backend() == "tpu"
                     else "infonce_batched")
         self.aug1, self.aug2 = aug1, aug2
-        self.model = GRACE(hidden_dim, num_layers, hidden_dim)
+        self.model = GRACE(hidden_dim, num_layers, hidden_dim, mesh=mesh)
+        self.mesh = mesh
         self.tx = torch_adam(lr, weight_decay)
         self.contrast = DualBranchContrast(loss=loss, mode="L2L",
                                            tau=tau, block_size=block_size)

@@ -30,9 +30,11 @@ from rlap_tpu.objectives.contrast import DualBranchContrast
 class GraphCL(nn.Module):
     hidden_dim: int = 32
     num_layers: int = 2
+    mesh: object = None
 
     def setup(self):
-        self.encoder = GINEncoder(self.hidden_dim, self.num_layers)
+        self.encoder = GINEncoder(self.hidden_dim, self.num_layers,
+                                  mesh=self.mesh)
         d = self.hidden_dim * self.num_layers
         self.project = MLP([d, d], activate_final=False)
 
@@ -46,9 +48,13 @@ class GraphCLTrainer:
     def __init__(self, aug1, aug2, hidden_dim: int = 32,
                  num_layers: int = 2, lr: float = 1e-2,
                  weight_decay: float = 0.0, tau: float = 0.2,
-                 batch_size: int = 128, seed: int = 0):
+                 batch_size: int = 128, seed: int = 0, mesh=None):
+        """`mesh`: shard each block-diagonal batch's edges over the mesh's
+        "data" axis (the DP/graph-batch row of SURVEY.md §2.3); the GIN
+        aggregation then runs as the shard_map edge-partitioned SpMM."""
         self.aug1, self.aug2 = aug1, aug2
-        self.model = GraphCL(hidden_dim, num_layers)
+        self.mesh = mesh
+        self.model = GraphCL(hidden_dim, num_layers, mesh=mesh)
         self.tx = torch_adam(lr, weight_decay)
         self.contrast = DualBranchContrast(loss="infonce", mode="G2G",
                                            tau=tau)
@@ -94,12 +100,27 @@ class GraphCLTrainer:
 
         return jax.jit(step, static_argnames=("num_graphs",))
 
+    def _shard_batch(self, g: Graph) -> Graph:
+        if self.mesh is None:
+            return g
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        edge = NamedSharding(self.mesh, P("data"))
+        repl = NamedSharding(self.mesh, P())
+        return g.replace(
+            senders=jax.device_put(g.senders, edge),
+            receivers=jax.device_put(g.receivers, edge),
+            weights=jax.device_put(g.weights, edge),
+            x=None if g.x is None else jax.device_put(g.x, repl),
+            node_mask=None if g.node_mask is None else jax.device_put(
+                g.node_mask, repl))
+
     def train_epoch(self, batches) -> float:
         total = 0.0
         for batch, seg, ng in batches:
             self.key, k1, k2 = jax.random.split(self.key, 3)
-            g1 = self.aug1(batch, k1)
-            g2 = self.aug2(batch, k2)
+            g1 = self._shard_batch(self.aug1(batch, k1))
+            g2 = self._shard_batch(self.aug2(batch, k2))
             if self.params is None:
                 self.key, k = jax.random.split(self.key)
                 variables = self.model.init(k, g1, seg, ng)

@@ -22,9 +22,15 @@ from rlap_tpu.ops.spmm import gcn_norm, spmm
 
 
 class GCNConv(nn.Module):
+    """`mesh`: when set, aggregation runs as the edge-partitioned shard_map
+    SpMM over the mesh's "data" axis (SURVEY.md §2.3 DP/graph-partition
+    rows); otherwise the local segment-sum SpMM. The loop-augmented edge
+    capacity (edge_capacity + num_nodes) must divide the mesh axis size."""
+
     features: int
     use_bias: bool = True
     add_self_loops: bool = True
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array) -> jax.Array:
@@ -33,7 +39,7 @@ class GCNConv(nn.Module):
                      kernel_init=nn.initializers.glorot_uniform(),
                      name="lin")(x)
         gl, wn = gcn_norm(g, add_self_loops=self.add_self_loops)
-        out = spmm(gl, x, edge_weights=wn)
+        out = spmm(gl, x, edge_weights=wn, mesh=self.mesh)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,))
@@ -48,11 +54,13 @@ class GCNEncoder(nn.Module):
 
     hidden_dim: int
     num_layers: int = 2
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array) -> jax.Array:
         for i in range(self.num_layers):
-            x = GCNConv(self.hidden_dim, name=f"conv_{i}")(g, x)
+            x = GCNConv(self.hidden_dim, mesh=self.mesh,
+                        name=f"conv_{i}")(g, x)
             x = PReLU(name=f"act_{i}")(x)
         return x
 

@@ -25,10 +25,11 @@ class GINConv(nn.Module):
 
     hidden_dim: int
     eps: float = 0.0
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array) -> jax.Array:
-        agg = spmm(g, x)
+        agg = spmm(g, x, mesh=self.mesh)
         h = (1.0 + self.eps) * x + agg
         return MLP([self.hidden_dim, self.hidden_dim], name="mlp")(h)
 
@@ -39,13 +40,15 @@ class GINEncoder(nn.Module):
 
     hidden_dim: int
     num_layers: int = 2
+    mesh: Optional[object] = None
 
     @nn.compact
     def __call__(self, g: Graph, x: jax.Array, segment_ids: jax.Array,
                  num_graphs: int, train: bool = True):
         zs = []
         for i in range(self.num_layers):
-            x = GINConv(self.hidden_dim, name=f"conv_{i}")(g, x)
+            x = GINConv(self.hidden_dim, mesh=self.mesh,
+                        name=f"conv_{i}")(g, x)
             x = nn.relu(x)
             x = MaskedBatchNorm(name=f"bn_{i}")(
                 x, mask=g.node_mask, use_running_average=not train)

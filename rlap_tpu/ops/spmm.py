@@ -18,11 +18,20 @@ from rlap_tpu.core.graph import Graph
 
 
 def spmm(g: Graph, x: jax.Array, edge_weights: Optional[jax.Array] = None,
-         indices_are_sorted: bool = False) -> jax.Array:
+         indices_are_sorted: bool = False, mesh=None,
+         axis: str = "data") -> jax.Array:
     """out[i] = sum over edges (j -> i) of w_e * x[j].   x: [N, F] -> [N, F].
 
-    Padding edges (sender == num_nodes) contribute to the dropped sentinel row.
+    Padding edges (sender == num_nodes) contribute to the dropped sentinel
+    row. When `mesh` is given, dispatches to the edge-partitioned shard_map
+    SpMM (`parallel/spmm.py`): each shard segment-sums its local edge slice
+    and ONE psum over the mesh axis combines partials over ICI.
     """
+    if mesh is not None:
+        from rlap_tpu.parallel.spmm import spmm_edge_partitioned
+
+        return spmm_edge_partitioned(g, x, mesh, axis=axis,
+                                     edge_weights=edge_weights)
     w = g.weights if edge_weights is None else edge_weights
     n = g.num_nodes
     # gather source features; sentinel index n reads row n of the padded x

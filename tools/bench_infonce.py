@@ -19,7 +19,7 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    from rlap_tpu.data.synthetic import synthetic_node_dataset
+    from rlap_tpu.data.synthetic import barabasi_albert
     from rlap_tpu.models.common import torch_adam
     from rlap_tpu.models.grace import GRACE
     from rlap_tpu.objectives.contrast import DualBranchContrast
@@ -28,8 +28,9 @@ def main():
     d = 256
     print(f"devices: {jax.devices()}, n={n}, d={d}", flush=True)
 
-    g, _ = synthetic_node_dataset(n=n, feature_dim=d,
-                                  edge_capacity=8 * n, seed=0)
+    g = barabasi_albert(n, 8, seed=0)
+    g = g.replace(x=jax.random.normal(jax.random.PRNGKey(1), (n, d),
+                                      jnp.float32))
     model = GRACE(hidden_dim=d, num_layers=2, proj_dim=d)
     params = model.init(jax.random.PRNGKey(0), g, g)["params"]
     tx = torch_adam(1e-3, 1e-5)
