@@ -159,6 +159,39 @@ def coalesce(g: Graph, sort: bool = True, reduce: str = "sum") -> Graph:
     return g.replace(senders=snew, receivers=rnew, weights=wsum)
 
 
+def coalesce_fast(g: Graph) -> Graph:
+    """Merge duplicate (sender, receiver) pairs IN PLACE: one fused-key sort
+    + a segmented scan; the tail of each duplicate run keeps the sum and the
+    rest become padding. Unlike `coalesce` there is no compaction scatter,
+    so merged-away slots sit where they fell (still marked padding) — use
+    when edge ORDER doesn't matter (segment reductions, the elimination
+    kernel's entry/exit). Requires n*(n+2) < 2^31; falls back to `coalesce`
+    otherwise."""
+    n = g.num_nodes
+    if n * (n + 2) >= np.iinfo(np.int32).max:
+        return coalesce(g)
+    B = n + 1
+    kappa = g.senders * B + g.receivers
+    kappa, w = jax.lax.sort((kappa, g.weights), num_keys=1)
+    same = kappa[1:] == kappa[:-1]
+    head = jnp.concatenate([jnp.ones((1,), bool), jnp.logical_not(same)])
+    tail = jnp.concatenate([jnp.logical_not(same), jnp.ones((1,), bool)])
+
+    def combine(a, b):
+        va, fa = a
+        vb, fb = b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    wsum, _ = jax.lax.associative_scan(combine, (w, head))
+    keep = tail & (kappa < n * B)
+    s = jnp.where(keep, kappa // B, n)
+    return g.replace(
+        senders=s,
+        receivers=jnp.where(keep, kappa - s * B, n),
+        weights=jnp.where(keep, wsum, jnp.zeros((), g.weights.dtype)),
+    )
+
+
 def drop_zero_weight(g: Graph) -> Graph:
     """Turn zero-weight live edges into padding (keeps sorted-ness modulo tail).
 

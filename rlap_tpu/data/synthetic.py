@@ -19,21 +19,35 @@ from rlap_tpu.core.graph import Graph
 
 def barabasi_albert(n: int, m: int, seed: int = 0,
                     edge_capacity: Optional[int] = None) -> Graph:
-    """Undirected BA preferential-attachment graph as a symmetric Graph."""
+    """Undirected BA preferential-attachment graph as a symmetric Graph.
+
+    The repeated-nodes pool is a preallocated array (a growing Python list
+    fed to `rng.choice` re-converts O(len) per step -> O(n^2) overall,
+    minutes at n=20k). Draw-for-draw identical to the list version for a
+    given seed, so generated graphs are unchanged.
+    """
     rng = np.random.default_rng(seed)
-    targets = list(range(m))
-    repeated: list = []
-    edges = set()
+    targets = np.arange(m, dtype=np.int64)
+    rep = np.empty(2 * m * max(n - m, 1), dtype=np.int64)
+    pos = 0
+    src = np.empty(m * max(n - m, 1), dtype=np.int64)
+    dst = np.empty(m * max(n - m, 1), dtype=np.int64)
+    e = 0
     for v in range(m, n):
-        for t in targets:
-            edges.add((v, t))
-            edges.add((t, v))
-        repeated.extend(targets)
-        repeated.extend([v] * m)
-        targets = list(rng.choice(repeated, size=m))
-    s = np.array([e[0] for e in sorted(edges)], np.int32)
-    r = np.array([e[1] for e in sorted(edges)], np.int32)
-    return Graph.from_edges(s, r, num_nodes=n, edge_capacity=edge_capacity)
+        k = len(targets)
+        src[e:e + k] = v
+        dst[e:e + k] = targets
+        e += k
+        rep[pos:pos + k] = targets
+        rep[pos + k:pos + 2 * k] = v
+        pos += 2 * k
+        targets = rng.choice(rep[:pos], size=m)
+    pairs = np.unique(np.stack([np.concatenate([src[:e], dst[:e]]),
+                                np.concatenate([dst[:e], src[:e]])], 1),
+                      axis=0)
+    return Graph.from_edges(pairs[:, 0].astype(np.int32),
+                            pairs[:, 1].astype(np.int32),
+                            num_nodes=n, edge_capacity=edge_capacity)
 
 
 def erdos_renyi(n: int, p: float, seed: int = 0,

@@ -706,7 +706,7 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
         raise ValueError(
             f"schedule must be one of {_VALID_SCHEDULE}, got {schedule!r}")
     gg = G.remove_self_loops(g)
-    gg = G.coalesce(gg)
+    gg = G.coalesce_fast(gg)
     gg = G.drop_zero_weight(gg)
     # the reference never eliminates the last vertex
     # (`while(it <= t && it < n)`, preconditioner.cc:723)
@@ -727,7 +727,7 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
                 x=g.x, node_mask=g.node_mask)
     if use_fast:
         # the fast path's last write-back leaves uncoalesced emissions
-        out = G.drop_zero_weight(G.coalesce(out))
+        out = G.drop_zero_weight(G.coalesce_fast(out))
     return out, removed, overflow
 
 

@@ -68,3 +68,43 @@ def aggregate(paths, name: str):
     return {"mean": float(arr.mean()) if arr.size else float("nan"),
             "std": float(arr.std()) if arr.size else float("nan"),
             "n": int(arr.size)}
+
+
+def results_table(paths, metric: str = "accuracy",
+                  row_key: str = "augmentor", col_key: str = "dataset",
+                  fmt: str = "markdown") -> str:
+    """Pivot `test_run` records into a mean±std table, markdown or LaTeX —
+    the reference's pandas `to_latex`/`to_markdown` emitters
+    (`prepare_final_stats.py:58-72`, `process_results.py:37-49`)."""
+    import numpy as np
+
+    cells: Dict[tuple, list] = {}
+    for p in paths:
+        for rec in read_metrics(p, "test_run"):
+            if metric in rec:
+                cells.setdefault((str(rec.get(row_key)),
+                                  str(rec.get(col_key))), []).append(
+                    float(rec[metric]))
+    rows = sorted({k[0] for k in cells})
+    cols = sorted({k[1] for k in cells})
+
+    def cell(r, c):
+        v = cells.get((r, c))
+        if not v:
+            return "-"
+        a = np.asarray(v)
+        return f"{a.mean():.4f}±{a.std():.4f}"
+
+    if fmt == "latex":
+        lines = ["\\begin{tabular}{l" + "c" * len(cols) + "}",
+                 " & ".join([row_key] + cols) + " \\\\ \\hline"]
+        for r in rows:
+            lines.append(" & ".join([r] + [cell(r, c) for c in cols])
+                         + " \\\\")
+        lines.append("\\end{tabular}")
+        return "\n".join(lines)
+    header = "| " + " | ".join([row_key] + cols) + " |"
+    sep = "|" + "|".join(["---"] * (len(cols) + 1)) + "|"
+    body = ["| " + " | ".join([r] + [cell(r, c) for c in cols]) + " |"
+            for r in rows]
+    return "\n".join([header, sep] + body)
