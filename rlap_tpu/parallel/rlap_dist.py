@@ -195,11 +195,11 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
                          num_shards)
         ekap = jnp.where(e_s < n, e_s * B + e_r, n * B + n)
         # bucket by destination with one local sort, then place each record
-        # at (dest, rank-within-dest) in the exchange buffer. Typical
-        # per-destination traffic is ~4*in_cap/P (emissions spread over
-        # shards); the buffer holds 8x that and overflow is flagged.
-        cap_route = max(min(8 * (2 * cap) // max(num_shards, 1), 2 * cap),
-                        128)
+        # at (dest, rank-within-dest) in the exchange buffer. Emissions
+        # total <= cap/2 per shard and spread over P destinations, so a
+        # cap/4 per-destination buffer is ~4x headroom even with hub skew;
+        # overflow is flagged (and the caller can raise `slack`).
+        cap_route = max(min(cap // 4, cap), 128)
         dsort, ksort, wsort = jax.lax.sort((dest, ekap, e_w), num_keys=1)
         didx = jnp.arange(2 * cap, dtype=jnp.int32)
         dstart = jnp.searchsorted(dsort, jnp.arange(num_shards + 1,
