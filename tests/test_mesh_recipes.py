@@ -93,3 +93,38 @@ class TestTwoLevelMesh:
                    mesh=mesh, axis="data")
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestTensorParallel:
+    def test_tp_sharded_params_match(self):
+        """GRACE forward with hidden dims sharded over a "model" axis
+        matches the replicated forward (GSPMD partitions the matmuls)."""
+        from rlap_tpu.models.grace import GRACE
+        from rlap_tpu.parallel.mesh import make_mesh_2level
+        from rlap_tpu.parallel.tp import shard_params_tp
+
+        mesh = make_mesh_2level(replica=2, data=4,
+                                axis_names=("replica", "model"))
+        g, _ = synthetic_node_dataset(n=128, feature_dim=32,
+                                      edge_capacity=2048, seed=2)
+        model = GRACE(hidden_dim=64, num_layers=2, proj_dim=64)
+        params = model.init(jax.random.PRNGKey(0), g, g)["params"]
+        ref1, ref2 = model.apply({"params": params}, g, g)
+
+        tp_params = shard_params_tp(params, mesh, axis="model")
+        # every 2D kernel must actually be sharded over its output dim
+        flat = jax.tree_util.tree_leaves_with_path(tp_params)
+        kernels = [l for p, l in flat
+                   if any(getattr(k, "key", "") == "kernel" for k in p)]
+        assert kernels
+        assert all(not l.sharding.is_fully_replicated for l in kernels
+                   if l.ndim == 2 and l.shape[1] % 4 == 0)
+
+        with mesh:
+            out1, out2 = jax.jit(
+                lambda p, a, b: model.apply({"params": p}, a, b)
+            )(tp_params, g, g)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                   rtol=2e-4, atol=2e-5)
