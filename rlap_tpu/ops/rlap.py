@@ -210,6 +210,22 @@ def _last_le_lookup(data_keys, query_keys):
     return out[:k]
 
 
+def _stage_sizes(e_cap: int) -> Tuple[int, ...]:
+    """Static pool-size schedule for staged active-set elimination.
+
+    Stage k runs its rounds on the prefix [0, sizes[k]) only; the stage exits
+    when every edge with a pending endpoint provably fits the next (4x
+    smaller) prefix. Sizes are 1024-multiples with a floor that keeps the
+    per-stage touched budget comfortably above any single column (tail
+    rounds eliminate high-degree hubs)."""
+    sizes = [e_cap]
+    for d in (2, 4, 8, 16):
+        p = max(16384, ((e_cap + d - 1) // d + 1023) // 1024 * 1024)
+        if p < sizes[-1]:
+            sizes.append(p)
+    return tuple(sizes)
+
+
 def _eliminate_impl_fast(
     senders, receivers, weights, key,
     t,  # traced: number of vertices to eliminate
@@ -274,12 +290,6 @@ def _eliminate_impl_fast(
     if sampler not in ("independent", "race"):
         raise ValueError(f"unknown sampler {sampler!r}")
 
-    if compact:
-        e_t = min(e_cap, max(((e_cap // 2 + 1023) // 1024) * 1024, 1024))
-    else:
-        e_t = e_cap
-    compact = e_t < e_cap
-
     key, kperm = jax.random.split(key)
     perm = jax.random.permutation(kperm, n)
     pos = jnp.zeros((n,), jnp.int32).at[perm].set(
@@ -290,14 +300,6 @@ def _eliminate_impl_fast(
     else:
         pending = jnp.ones((n,), bool)
 
-    state = dict(
-        senders=senders, receivers=receivers, weights=weights,
-        pending=pending, removed=jnp.zeros((), jnp.int32),
-        npend=jnp.sum(pending.astype(jnp.int32)),
-        key=key, rnd=jnp.zeros((), jnp.int32),
-        overflow=jnp.zeros((), bool),
-    )
-
     big = jnp.asarray(_INT_MAX, jnp.int32)
     t1 = jnp.ones((1,), bool)
     f1 = jnp.zeros((1,), bool)
@@ -305,187 +307,274 @@ def _eliminate_impl_fast(
     zero_w = jnp.zeros((), wdtype)
     iota_n = jnp.arange(n, dtype=jnp.int32)
 
-    def cond(st):
-        return ((st["npend"] > 0) & (st["removed"] < t)
-                & jnp.logical_not(st["overflow"]))
+    # ---- staged active-set schedule -------------------------------------
+    # Every quantity a round reads is determined by edges with at least one
+    # PENDING endpoint: a pending vertex's incident edges are by definition
+    # all such edges, so degrees and (deg, pos) priorities computed from the
+    # active set are exact for every candidate; non-pending vertices enter
+    # selection only through their pack value, which never depends on their
+    # degree; and the touched edges of a round are incident to the (pending)
+    # eliminated set. An edge whose endpoints are both non-pending can never
+    # be read or written again — it is final output. Each stage therefore
+    # runs its rounds on a statically smaller pool prefix [0, P) that holds
+    # every active edge, exiting to a 4x smaller prefix once a SAFE bound on
+    # the active count fits it: bound = sum(deg over pending') + sum(deg
+    # over this round's eliminated set), where the second term dominates the
+    # degree growth pending vertices can gain from this round's emissions
+    # (one per sampled clique edge, and emissions < touched = sum deg over
+    # the eliminated set). The transition packs active edges to the front
+    # with one sort; retired edges accumulate behind the next prefix and
+    # pass through to the output untouched.
+    def pending_bound(s_arr, pend):
+        # x2: an active edge with only ONE pending endpoint has two directed
+        # copies in the symmetric pool but is counted once (via the pending
+        # side's degree); doubling covers both copies.
+        live_arr = s_arr < n
+        deg_arr = jnp.zeros((n + 1,), jnp.int32).at[s_arr].add(
+            live_arr.astype(jnp.int32))[:n]
+        return 2 * jnp.sum(jnp.where(pend, deg_arr, 0))
 
-    def body(st):
-        s, r, w = st["senders"], st["receivers"], st["weights"]
-        pending = st["pending"]
-        rkey = jax.random.fold_in(st["key"], st["rnd"])
-        live = s < n  # invariant: every real edge has w > 0 at round start
+    def make_stage(P: int, e_t: int, next_P):
+        do_compact = e_t < P
+
+        def cond(st):
+            go = ((st["npend"] > 0) & (st["removed"] < t)
+                  & jnp.logical_not(st["overflow"]))
+            if next_P is not None:
+                go = go & (st["bound"] > next_P)
+            return go
+
+        def body(st):
+            s, r, w = st["senders"], st["receivers"], st["weights"]
+            pending = st["pending"]
+            rkey = jax.random.fold_in(st["key"], st["rnd"])
+            live = s < n  # invariant: every real edge has w > 0 at round start
 
         # ---- degrees (duplicate copies counted, like the reference's
         # lazily-decremented PQ degrees) ------------------------------------
-        deg = jnp.zeros((n + 1,), jnp.int32).at[s].add(
-            live.astype(jnp.int32))[:n]
+            deg = jnp.zeros((n + 1,), jnp.int32).at[s].add(
+                live.astype(jnp.int32))[:n]
 
-        if o_v == "random" and schedule == "luby":
-            prio = pos
-        else:
-            dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
-            prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
+            if o_v == "random" and schedule == "luby":
+                prio = pos
+            else:
+                dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
+                prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
 
-        # ---- packed Luby sub-rounds: one gather + one scatter-min each ----
-        elim = jnp.zeros((n,), bool)
-        cand = pending
-        sel = jnp.zeros((n,), bool)
-        for it in range(max(1, subiters)):
-            pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
-            pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
-            nbr = jnp.where(live, pack_pad[r], big)
-            nmin = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
-            sel = cand & (prio < nmin) & (nmin >= 0)
-            elim = elim | sel
-            cand = cand & jnp.logical_not(sel) & (nmin >= 0)
+            # ---- packed Luby sub-rounds: one gather + one scatter-min each ----
+            elim = jnp.zeros((n,), bool)
+            cand = pending
+            sel = jnp.zeros((n,), bool)
+            for it in range(max(1, subiters)):
+                pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
+                pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
+                nbr = jnp.where(live, pack_pad[r], big)
+                nmin = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
+                sel = cand & (prio < nmin) & (nmin >= 0)
+                elim = elim | sel
+                cand = cand & jnp.logical_not(sel) & (nmin >= 0)
 
-        if o_v != "random":
-            # cap this round at the remaining budget, lowest priority first
-            # — the PQ pop order
-            remaining = t - st["removed"]
-            sorted_prio = jnp.sort(jnp.where(elim, prio, big))
-            kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
-            elim = elim & (prio <= kth) & (remaining > 0)
+            if o_v != "random":
+                # cap this round at the remaining budget, lowest priority first
+                # — the PQ pop order
+                remaining = t - st["removed"]
+                sorted_prio = jnp.sort(jnp.where(elim, prio, big))
+                kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
+                elim = elim & (prio <= kth) & (remaining > 0)
 
-        overflow = st["overflow"]
+            overflow = st["overflow"]
+            if do_compact:
+                # trim the set (cheapest prio first) so its touched edges —
+                # exactly sum 2*deg(i) over the set — fit the static prefix
+                prs, nodes = jax.lax.sort(
+                    (jnp.where(elim, prio, big), iota_n), num_keys=1)
+                cost = jnp.where(prs < big, 2 * deg[nodes], 0)
+                fits = (jnp.cumsum(cost) <= e_t) & (prs < big)
+                elim = jnp.zeros((n,), bool).at[nodes].max(fits)
+                overflow = overflow | ((prs[0] < big)
+                                       & jnp.logical_not(fits[0]))
+
+            b_count = jnp.sum(elim.astype(jnp.int32))
+            elim_pad = jnp.concatenate([elim, f1])
+            es = elim_pad[s] & live
+            er = elim_pad[r] & live
+
+            # ---- the one pool sort: touched edges pair-grouped by their
+            # eliminated endpoint, untouched edges ride to the tail -------------
+            rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
+            kap = s * B + r  # identity payload (padding decodes to (n, n))
+            rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
+
+            # untouched suffix passes through unchanged
+            kap_t = kap[e_t:]
+            w_t = w[e_t:]
+            rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
+
+            touched = rho_p < big
+            owner = jnp.where(touched, rho_p // B, n)
+            other = jnp.where(touched, rho_p - owner * B, n)
+
+            # ---- runs: forward copy + mirror copy (+ dups) share one rho ------
+            same = rho_p[1:] == rho_p[:-1]
+            head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
+            is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
+            # pre-tail: the slot immediately before its run's tail (runs always
+            # have >= 2 members: the forward and the mirror copy)
+            is_pre = jnp.concatenate([same & is_tail[1:], f1])
+            run_sum = _segmented_cumsum(w_p, head_run)
+            v = jnp.where(is_tail, run_sum * half, zero_w)  # column weight v_ij
+
+            # ---- suffix-CDF sampling over run tails within each owner column --
+            hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
+            cum = _segmented_cumsum(v, hs)
+            csum = _segmented_maxscan_rev(cum, hs)
+            suffix = csum - cum
+
+            if o_v == "coarsen":
+                # one partner per whole column ~ v_k/csum; every other neighbor
+                # rewires onto it with harmonic weights (preconditioner.cc:866-912):
+                # broadcast the column-wide exponential-race winner forward
+                eu = jnp.maximum(
+                    jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
+                    jnp.asarray(1e-12, jnp.float32))
+                race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
+                    v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
+                                                               jnp.float32))
+                _, race_o, race_v = _segmented_race_rev(race_x, other, v, hs)
+                partner = _segmented_headscan(jnp.where(hs, race_o, 0), hs)
+                w_k = _segmented_headscan(jnp.where(hs, race_v, zero_w), hs)
+                # the winner's own edge (i, k) is zeroed (preconditioner.cc:879-882)
+                emit = is_tail & (csum > 0) & (other != partner)
+                denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
+                wnew = jnp.where(emit, v * w_k / denom, zero_w)
+            elif sampler == "race":
+                # suffix sample via exponential race: min over later tails of
+                # Exp(1)/v_m picks m with probability v_m/S_j — exact marginals,
+                # positively correlated within a column (see docstring)
+                eu = jnp.maximum(
+                    jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
+                    jnp.asarray(1e-12, jnp.float32))
+                race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
+                    v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
+                                                               jnp.float32))
+                _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
+                partner = jnp.concatenate([race_o[1:],
+                                           jnp.full((1,), n, jnp.int32)])
+                emit = is_tail & (suffix > 0)
+                csafe = jnp.where(csum > 0, csum, 1.0)
+                wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+            else:
+                # independent per-neighbor inverse-CDF draws, located by one
+                # merge-based rank lookup (first tail with cum > rv)
+                u = jax.random.uniform(rkey, (e_t,),
+                                       dtype=jnp.float32).astype(wdtype)
+                rv = cum + u * suffix
+                # rv can round UP to csum in f32; keep it strictly inside the
+                # column so the lookup can never escape into the next column
+                rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
+                emit = is_tail & (suffix > 0)
+                q = _last_le_lookup(
+                    (owner, cum),
+                    (jnp.where(emit, owner, n + 1),
+                     jnp.where(emit, rv, zero_w))) + 1
+                q = jnp.clip(q, 0, e_t - 1)
+                partner = other[q]
+                csafe = jnp.where(csum > 0, csum, 1.0)
+                wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+
+            # ---- write-back: tail -> (other, partner), pre-tail -> the mirror
+            # (partner, other) read from its right neighbor via a shift ---------
+            emit_p = jnp.concatenate([emit[1:], f1]) & is_pre
+            partner_p = jnp.concatenate([partner[1:],
+                                         jnp.zeros((1,), jnp.int32)])
+            other_p = jnp.concatenate([other[1:], jnp.zeros((1,), jnp.int32)])
+            wnew_p = jnp.concatenate([wnew[1:], jnp.zeros((1,), wdtype)])
+
+            ks = kap_p // B
+            kr = kap_p - ks * B
+            s_new = jnp.where(touched,
+                              jnp.where(emit, other,
+                                        jnp.where(emit_p, partner_p, n)), ks)
+            r_new = jnp.where(touched,
+                              jnp.where(emit, partner,
+                                        jnp.where(emit_p, other_p, n)), kr)
+            w_new = jnp.where(touched,
+                              jnp.where(emit, wnew,
+                                        jnp.where(emit_p, wnew_p, zero_w)), w_p)
+
+            ks_t = kap_t // B
+            s_new = jnp.concatenate([s_new, ks_t])
+            r_new = jnp.concatenate([r_new, kap_t - ks_t * B])
+            w_new = jnp.concatenate([w_new, w_t])
+
+            pending_next = pending & jnp.logical_not(elim)
+            if next_P is not None:
+                # safe active-count bound for the NEXT round (see the staged
+                # schedule note above): start-of-round degrees over the
+                # surviving pending set, plus sum(deg over elim) which
+                # dominates any degree this round's emissions add; x2 because
+                # a one-pending-endpoint edge has two directed copies but is
+                # counted once via the pending side's degree.
+                bound = 2 * (jnp.sum(jnp.where(pending_next, deg, 0))
+                             + jnp.sum(jnp.where(elim, deg, 0)))
+            else:
+                bound = st["bound"]
+            return dict(
+                senders=s_new, receivers=r_new, weights=w_new,
+                pending=pending_next,
+                removed=st["removed"] + b_count,
+                npend=jnp.sum(pending_next.astype(jnp.int32)),
+                key=st["key"],
+                rnd=st["rnd"] + 1,
+                overflow=overflow,
+                bound=bound,
+            )
+
+        return cond, body
+
+    carry = dict(
+        pending=pending, removed=jnp.zeros((), jnp.int32),
+        npend=jnp.sum(pending.astype(jnp.int32)),
+        key=key, rnd=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), bool),
+    )
+    s_full, r_full, w_full = senders, receivers, weights
+    stages = _stage_sizes(e_cap) if compact else (e_cap,)
+    for si, P in enumerate(stages):
+        next_P = stages[si + 1] if si + 1 < len(stages) else None
         if compact:
-            # trim the set (cheapest prio first) so its touched edges —
-            # exactly sum 2*deg(i) over the set — fit the static prefix
-            prs, nodes = jax.lax.sort(
-                (jnp.where(elim, prio, big), iota_n), num_keys=1)
-            cost = jnp.where(prs < big, 2 * deg[nodes], 0)
-            fits = (jnp.cumsum(cost) <= e_t) & (prs < big)
-            elim = jnp.zeros((n,), bool).at[nodes].max(fits)
-            overflow = overflow | ((prs[0] < big)
-                                   & jnp.logical_not(fits[0]))
-
-        b_count = jnp.sum(elim.astype(jnp.int32))
-        elim_pad = jnp.concatenate([elim, f1])
-        es = elim_pad[s] & live
-        er = elim_pad[r] & live
-
-        # ---- the one pool sort: touched edges pair-grouped by their
-        # eliminated endpoint, untouched edges ride to the tail -------------
-        rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
-        kap = s * B + r  # identity payload (padding decodes to (n, n))
-        rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
-
-        # untouched suffix passes through unchanged
-        kap_t = kap[e_t:]
-        w_t = w[e_t:]
-        rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
-
-        touched = rho_p < big
-        owner = jnp.where(touched, rho_p // B, n)
-        other = jnp.where(touched, rho_p - owner * B, n)
-
-        # ---- runs: forward copy + mirror copy (+ dups) share one rho ------
-        same = rho_p[1:] == rho_p[:-1]
-        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
-        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
-        # pre-tail: the slot immediately before its run's tail (runs always
-        # have >= 2 members: the forward and the mirror copy)
-        is_pre = jnp.concatenate([same & is_tail[1:], f1])
-        run_sum = _segmented_cumsum(w_p, head_run)
-        v = jnp.where(is_tail, run_sum * half, zero_w)  # column weight v_ij
-
-        # ---- suffix-CDF sampling over run tails within each owner column --
-        hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
-        cum = _segmented_cumsum(v, hs)
-        csum = _segmented_maxscan_rev(cum, hs)
-        suffix = csum - cum
-
-        if o_v == "coarsen":
-            # one partner per whole column ~ v_k/csum; every other neighbor
-            # rewires onto it with harmonic weights (preconditioner.cc:866-912):
-            # broadcast the column-wide exponential-race winner forward
-            eu = jnp.maximum(
-                jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
-                jnp.asarray(1e-12, jnp.float32))
-            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
-                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
-                                                           jnp.float32))
-            _, race_o, race_v = _segmented_race_rev(race_x, other, v, hs)
-            partner = _segmented_headscan(jnp.where(hs, race_o, 0), hs)
-            w_k = _segmented_headscan(jnp.where(hs, race_v, zero_w), hs)
-            # the winner's own edge (i, k) is zeroed (preconditioner.cc:879-882)
-            emit = is_tail & (csum > 0) & (other != partner)
-            denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
-            wnew = jnp.where(emit, v * w_k / denom, zero_w)
-        elif sampler == "race":
-            # suffix sample via exponential race: min over later tails of
-            # Exp(1)/v_m picks m with probability v_m/S_j — exact marginals,
-            # positively correlated within a column (see docstring)
-            eu = jnp.maximum(
-                jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
-                jnp.asarray(1e-12, jnp.float32))
-            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
-                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
-                                                           jnp.float32))
-            _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
-            partner = jnp.concatenate([race_o[1:],
-                                       jnp.full((1,), n, jnp.int32)])
-            emit = is_tail & (suffix > 0)
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+            # touched budget: a quarter of the pool for the big first stage
+            # (measured touched peaks at ~24% of E on BA(20k); the per-round
+            # trim defers overflowing vertices), half for the small tails
+            # where single high-degree hub columns need the headroom.
+            frac = 4 if si == 0 else 2
+            e_t = min(P, max(((P // frac + 1023) // 1024) * 1024, 1024))
         else:
-            # independent per-neighbor inverse-CDF draws, located by one
-            # merge-based rank lookup (first tail with cum > rv)
-            u = jax.random.uniform(rkey, (e_t,),
-                                   dtype=jnp.float32).astype(wdtype)
-            rv = cum + u * suffix
-            # rv can round UP to csum in f32; keep it strictly inside the
-            # column so the lookup can never escape into the next column
-            rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
-            emit = is_tail & (suffix > 0)
-            q = _last_le_lookup(
-                (owner, cum),
-                (jnp.where(emit, owner, n + 1),
-                 jnp.where(emit, rv, zero_w))) + 1
-            q = jnp.clip(q, 0, e_t - 1)
-            partner = other[q]
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-
-        # ---- write-back: tail -> (other, partner), pre-tail -> the mirror
-        # (partner, other) read from its right neighbor via a shift ---------
-        emit_p = jnp.concatenate([emit[1:], f1]) & is_pre
-        partner_p = jnp.concatenate([partner[1:],
-                                     jnp.zeros((1,), jnp.int32)])
-        other_p = jnp.concatenate([other[1:], jnp.zeros((1,), jnp.int32)])
-        wnew_p = jnp.concatenate([wnew[1:], jnp.zeros((1,), wdtype)])
-
-        ks = kap_p // B
-        kr = kap_p - ks * B
-        s_new = jnp.where(touched,
-                          jnp.where(emit, other,
-                                    jnp.where(emit_p, partner_p, n)), ks)
-        r_new = jnp.where(touched,
-                          jnp.where(emit, partner,
-                                    jnp.where(emit_p, other_p, n)), kr)
-        w_new = jnp.where(touched,
-                          jnp.where(emit, wnew,
-                                    jnp.where(emit_p, wnew_p, zero_w)), w_p)
-
-        ks_t = kap_t // B
-        s_new = jnp.concatenate([s_new, ks_t])
-        r_new = jnp.concatenate([r_new, kap_t - ks_t * B])
-        w_new = jnp.concatenate([w_new, w_t])
-
-        pending_next = pending & jnp.logical_not(elim)
-        return dict(
-            senders=s_new, receivers=r_new, weights=w_new,
-            pending=pending_next,
-            removed=st["removed"] + b_count,
-            npend=jnp.sum(pending_next.astype(jnp.int32)),
-            key=st["key"],
-            rnd=st["rnd"] + 1,
-            overflow=overflow,
-        )
-
-    out = jax.lax.while_loop(cond, body, state)
-    return (out["senders"], out["receivers"], out["weights"],
-            out["removed"], out["rnd"], out["overflow"])
+            e_t = P
+        st = dict(senders=s_full[:P], receivers=r_full[:P],
+                  weights=w_full[:P], **carry)
+        st["bound"] = (pending_bound(st["senders"], carry["pending"])
+                       if next_P is not None else jnp.zeros((), jnp.int32))
+        cond, body = make_stage(P, e_t, next_P)
+        out = jax.lax.while_loop(cond, body, st)
+        carry = {k: out[k] for k in carry}
+        sP, rP, wP = out["senders"], out["receivers"], out["weights"]
+        if next_P is not None:
+            # transition: pack active (pending-incident) edges into the
+            # front of [0, P) so the next stage's prefix holds all of them;
+            # retired edges settle behind it as finished output.
+            pend_pad = jnp.concatenate([carry["pending"], f1])
+            act = (sP < n) & (pend_pad[sP] | pend_pad[rP])
+            akey = jnp.where(act, 0, 1).astype(jnp.int32)
+            kapP = sP * B + rP
+            _, kapP, wP = jax.lax.sort((akey, kapP, wP), num_keys=1)
+            sP = kapP // B
+            rP = kapP - sP * B
+        s_full = jnp.concatenate([sP, s_full[P:]])
+        r_full = jnp.concatenate([rP, r_full[P:]])
+        w_full = jnp.concatenate([wP, w_full[P:]])
+    return (s_full, r_full, w_full, carry["removed"], carry["rnd"],
+            carry["overflow"])
 
 
 def _segmented_minscan(vals, heads):
