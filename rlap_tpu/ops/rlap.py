@@ -4,13 +4,15 @@ TPU-native redesign of the reference's sequential C++ elimination engine
 (`rlap/csrc/preconditioner.cc`): instead of pointer-chased linked-list columns
 popped one vertex at a time, elimination proceeds in **rounds over independent
 sets** of vertices on a padded COO edge list with static shapes, entirely
-inside `jax.jit`. Processing is fully *edge-centric*: a round's work is ONE
-pool sort (which pair-groups each touched edge with its mirror and merges
-duplicates in place), a handful of segmented scans/scatters, and one
-merge-based rank lookup for partner sampling — no dense per-column block, no
-per-element binary searches, and no scatters in the write-back (the sampled
-clique edge and its mirror overwrite the touched pair's own two slots, the
-reference's storage reuse `preconditioner.cc:761-772`). See
+inside `jax.jit`. Processing is fully *edge-centric* over a CANONICAL
+half-edge pool (one u < v slot per undirected edge): a round's work is ONE
+pool sort (which groups each touched edge's duplicate copies and merges
+them in place), a handful of segmented scans/scatters, and one merge-based
+rank lookup for partner sampling — no dense per-column block, no
+per-element binary searches, and no scatters in the write-back (each
+sampled clique edge overwrites its own run-tail slot, the reference's
+storage reuse `preconditioner.cc:761-772`). Rounds run on *staged*
+active-set pool prefixes that shrink as pending vertices drain. See
 `_eliminate_impl_fast` for the design and its measured-cost rationale.
 
 Why a round of an independent set is exact
@@ -56,11 +58,10 @@ total `csum`, inclusive prefix sums `cum_j`, and suffix sums
   identical to `preconditioner.cc:748-757`.
 
 Storage reuse mirrors the reference (`preconditioner.cc:761-772`): the d
-eliminated edges of a degree-d column (and their mirrors) are exactly the
-slots into which the d-1 sampled clique edges (and mirrors) are written, so a
-buffer of the input edge capacity always suffices. In the pair-grouped
-layout the forward slot is the run tail's own position and the mirror slot
-is the slot immediately before it — both elementwise selects/shifts.
+eliminated canonical edges of a degree-d column are exactly the slots into
+which the d-1 sampled clique edges are written (each emitting run tail
+overwrites itself, re-canonicalized to u < v elementwise), so a pool of
+half the directed edge capacity always suffices.
 """
 
 from __future__ import annotations
@@ -210,17 +211,17 @@ def _last_le_lookup(data_keys, query_keys):
     return out[:k]
 
 
-def _stage_sizes(e_cap: int) -> Tuple[int, ...]:
+def _stage_sizes(e_cap: int, floor: int = 8192) -> Tuple[int, ...]:
     """Static pool-size schedule for staged active-set elimination.
 
     Stage k runs its rounds on the prefix [0, sizes[k]) only; the stage exits
-    when every edge with a pending endpoint provably fits the next (4x
+    when every edge with a pending endpoint provably fits the next (2x
     smaller) prefix. Sizes are 1024-multiples with a floor that keeps the
     per-stage touched budget comfortably above any single column (tail
     rounds eliminate high-degree hubs)."""
     sizes = [e_cap]
     for d in (2, 4, 8, 16):
-        p = max(16384, ((e_cap + d - 1) // d + 1023) // 1024 * 1024)
+        p = max(floor, ((e_cap + d - 1) // d + 1023) // 1024 * 1024)
         if p < sizes[-1]:
             sizes.append(p)
     return tuple(sizes)
@@ -242,23 +243,30 @@ def _eliminate_impl_fast(
     The round body therefore uses ONE full-pool sort, a handful of
     scans/scatters, and zero per-element binary searches:
 
-    * **Pair grouping.** Every edge touching an eliminated vertex i is
-      sorted by the key rho = i*(n+1) + other, so the forward copy (i, j)
-      and its mirror (j, i) (plus any duplicate copies of either) land in
-      ONE adjacent run whose total is exactly 2*v_ij — the
+    * **Canonical half-edge pool.** The symmetric directed input folds to
+      one u < v slot per undirected edge at entry (unfolded at exit), so
+      every per-edge pass below runs on half the slots and the mirror-copy
+      bookkeeping disappears.
+    * **Column grouping.** Every edge touching an eliminated vertex i is
+      sorted by the key rho = i*(n+1) + other; duplicate copies of one
+      pair land in ONE adjacent run whose total is v_ij — the
       `compressColumn` duplicate merge (preconditioner.cc:641-676) for
-      free. The run tail emits the sampled clique edge (j, k) and the slot
-      right before it emits the mirror (k, j) — the reference's
-      storage-pair reuse (preconditioner.cc:761-772) — so the mirror write
-      is a SHIFT, not a lookup. Untouched edges ride behind the touched
-      block (key = +inf) and pass through unchanged.
+      free. Each emitting run tail overwrites its own slot with the
+      sampled clique edge (j, k), re-canonicalized elementwise — the
+      reference's storage reuse (preconditioner.cc:761-772). Untouched
+      edges ride behind the touched block (key = +inf) and pass through
+      unchanged.
     * **Touched-prefix compaction** (`compact=True`): each round's
       independent set is budgeted so that its touched edges (exactly
-      sum 2*deg over the set) fit in a static prefix of length
-      ~edge_capacity/2; all per-edge heavy ops (scans, sampling, the merge
-      lookup) run on that prefix only. A set whose cheapest vertex alone
-      exceeds the budget raises the overflow flag (callers escalate by
-      re-running with compact=False).
+      sum deg over the set) fit in a static prefix; all per-edge heavy ops
+      (scans, sampling, the merge lookup) run on that prefix only. A set
+      whose cheapest vertex alone exceeds the budget raises the overflow
+      flag (callers escalate by re-running with compact=False).
+    * **Staged active-set pools.** Rounds only read edges with a pending
+      endpoint; as pending drains, whole rounds re-run on statically
+      smaller pool prefixes (see the staged-schedule note in the body),
+      which is where most of the round cost — the per-element-priced
+      gathers/scatters — shrinks.
     * **Suffix-CDF sampling in run order.** The reference's sampler
       (`preconditioner.cc:740-776`) is unbiased for ANY fixed column
       order: for a pair (a, b) with a earlier, only a emits toward b, with
@@ -290,6 +298,31 @@ def _eliminate_impl_fast(
     if sampler not in ("independent", "race"):
         raise ValueError(f"unknown sampler {sampler!r}")
 
+    # ---- canonical half-edge pool ----------------------------------------
+    # The symmetric directed input (both copies present; the reference
+    # asserts symmetry, factorizers.cc:19-22) folds to one canonical (u < v)
+    # copy per undirected edge: every per-edge cost below (sorts, scans, the
+    # merge lookup, the es/er lookups) is paid on half the slots, and the
+    # mirror-shift write-back machinery disappears — a run tail emits its
+    # sampled clique edge once, re-canonicalized elementwise. Live directed
+    # copies <= e_cap implies pairs <= e_cap // 2, so the fold never drops a
+    # live edge; the unfold at exit re-emits both copies.
+    e_half = max(e_cap // 2, 1)
+    fkey = jnp.where((senders < n) & (senders < receivers),
+                     jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
+    fkap = senders * B + receivers
+    _, fkap, fw = jax.lax.sort((fkey, fkap, weights), num_keys=1)
+    sh = fkap[:e_half] // B
+    rh = fkap[:e_half] - sh * B
+    wh = fw[:e_half]
+    # the slice's tail may hold (v, u) reverse copies that sorted behind the
+    # canonical block; they decode with sh >= rh — blank them to padding
+    # (their canonical twins are already in the block).
+    good = sh < rh
+    sh = jnp.where(good, sh, n)
+    rh = jnp.where(good, rh, n)
+    wh = jnp.where(good, wh, jnp.zeros((), wdtype))
+
     key, kperm = jax.random.split(key)
     perm = jax.random.permutation(kperm, n)
     pos = jnp.zeros((n,), jnp.int32).at[perm].set(
@@ -303,7 +336,6 @@ def _eliminate_impl_fast(
     big = jnp.asarray(_INT_MAX, jnp.int32)
     t1 = jnp.ones((1,), bool)
     f1 = jnp.zeros((1,), bool)
-    half = jnp.asarray(0.5, wdtype)
     zero_w = jnp.zeros((), wdtype)
     iota_n = jnp.arange(n, dtype=jnp.int32)
 
@@ -325,16 +357,14 @@ def _eliminate_impl_fast(
     # the eliminated set). The transition packs active edges to the front
     # with one sort; retired edges accumulate behind the next prefix and
     # pass through to the output untouched.
-    def pending_bound(s_arr, pend):
-        # x2: an active edge with only ONE pending endpoint has two directed
-        # copies in the symmetric pool but is counted once (via the pending
-        # side's degree); doubling covers both copies.
+    def pending_bound(s_arr, r_arr, pend):
         live_arr = s_arr < n
+        one = live_arr.astype(jnp.int32)
         deg_arr = jnp.zeros((n + 1,), jnp.int32).at[s_arr].add(
-            live_arr.astype(jnp.int32))[:n]
-        return 2 * jnp.sum(jnp.where(pend, deg_arr, 0))
+            one).at[r_arr].add(one)[:n]
+        return jnp.sum(jnp.where(pend, deg_arr, 0))
 
-    def make_stage(P: int, e_t: int, next_P):
+    def make_stage(P: int, e_t: int, next_P, sub: int):
         do_compact = e_t < P
 
         def cond(st):
@@ -350,10 +380,12 @@ def _eliminate_impl_fast(
             rkey = jax.random.fold_in(st["key"], st["rnd"])
             live = s < n  # invariant: every real edge has w > 0 at round start
 
-        # ---- degrees (duplicate copies counted, like the reference's
-        # lazily-decremented PQ degrees) ------------------------------------
+            # ---- degrees (duplicate copies counted, like the reference's
+            # lazily-decremented PQ degrees); each canonical edge feeds both
+            # endpoints ---------------------------------------------------
+            one = live.astype(jnp.int32)
             deg = jnp.zeros((n + 1,), jnp.int32).at[s].add(
-                live.astype(jnp.int32))[:n]
+                one).at[r].add(one)[:n]
 
             if o_v == "random" and schedule == "luby":
                 prio = pos
@@ -365,11 +397,20 @@ def _eliminate_impl_fast(
             elim = jnp.zeros((n,), bool)
             cand = pending
             sel = jnp.zeros((n,), bool)
-            for it in range(max(1, subiters)):
+            n_active = jnp.zeros((), jnp.int32)
+            for it in range(max(1, sub)):
                 pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
                 pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
-                nbr = jnp.where(live, pack_pad[r], big)
-                nmin = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
+                nbr_r = jnp.where(live, pack_pad[r], big)
+                nbr_s = jnp.where(live, pack_pad[s], big)
+                if it == 0 and next_P is not None:
+                    # free exact active count: at sub-round 0 cand == pending,
+                    # so pack[u] < big <=> u pending — an edge is active iff
+                    # either gathered pack is finite.
+                    n_active = jnp.sum((live & ((nbr_r < big) | (nbr_s < big))
+                                        ).astype(jnp.int32))
+                nmin = (jnp.full((n + 1,), big, jnp.int32)
+                        .at[s].min(nbr_r).at[r].min(nbr_s))[:n]
                 sel = cand & (prio < nmin) & (nmin >= 0)
                 elim = elim | sel
                 cand = cand & jnp.logical_not(sel) & (nmin >= 0)
@@ -385,10 +426,12 @@ def _eliminate_impl_fast(
             overflow = st["overflow"]
             if do_compact:
                 # trim the set (cheapest prio first) so its touched edges —
-                # exactly sum 2*deg(i) over the set — fit the static prefix
+                # exactly sum deg(i) over the set (one canonical copy per
+                # incident edge; no two set members adjacent) — fit the
+                # static prefix
                 prs, nodes = jax.lax.sort(
                     (jnp.where(elim, prio, big), iota_n), num_keys=1)
-                cost = jnp.where(prs < big, 2 * deg[nodes], 0)
+                cost = jnp.where(prs < big, deg[nodes], 0)
                 fits = (jnp.cumsum(cost) <= e_t) & (prs < big)
                 elim = jnp.zeros((n,), bool).at[nodes].max(fits)
                 overflow = overflow | ((prs[0] < big)
@@ -414,15 +457,12 @@ def _eliminate_impl_fast(
             owner = jnp.where(touched, rho_p // B, n)
             other = jnp.where(touched, rho_p - owner * B, n)
 
-            # ---- runs: forward copy + mirror copy (+ dups) share one rho ------
+            # ---- runs: duplicate canonical copies of one pair share a rho ----
             same = rho_p[1:] == rho_p[:-1]
             head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
             is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
-            # pre-tail: the slot immediately before its run's tail (runs always
-            # have >= 2 members: the forward and the mirror copy)
-            is_pre = jnp.concatenate([same & is_tail[1:], f1])
             run_sum = _segmented_cumsum(w_p, head_run)
-            v = jnp.where(is_tail, run_sum * half, zero_w)  # column weight v_ij
+            v = jnp.where(is_tail, run_sum, zero_w)  # column weight v_ij
 
             # ---- suffix-CDF sampling over run tails within each owner column --
             hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
@@ -482,25 +522,16 @@ def _eliminate_impl_fast(
                 csafe = jnp.where(csum > 0, csum, 1.0)
                 wnew = jnp.where(emit, v * suffix / csafe, zero_w)
 
-            # ---- write-back: tail -> (other, partner), pre-tail -> the mirror
-            # (partner, other) read from its right neighbor via a shift ---------
-            emit_p = jnp.concatenate([emit[1:], f1]) & is_pre
-            partner_p = jnp.concatenate([partner[1:],
-                                         jnp.zeros((1,), jnp.int32)])
-            other_p = jnp.concatenate([other[1:], jnp.zeros((1,), jnp.int32)])
-            wnew_p = jnp.concatenate([wnew[1:], jnp.zeros((1,), wdtype)])
-
+            # ---- write-back: each emitting run tail overwrites its own slot
+            # with the sampled clique edge, re-canonicalized; every other
+            # touched slot retires to padding -------------------------------
+            can_s = jnp.minimum(other, partner)
+            can_r = jnp.maximum(other, partner)
             ks = kap_p // B
             kr = kap_p - ks * B
-            s_new = jnp.where(touched,
-                              jnp.where(emit, other,
-                                        jnp.where(emit_p, partner_p, n)), ks)
-            r_new = jnp.where(touched,
-                              jnp.where(emit, partner,
-                                        jnp.where(emit_p, other_p, n)), kr)
-            w_new = jnp.where(touched,
-                              jnp.where(emit, wnew,
-                                        jnp.where(emit_p, wnew_p, zero_w)), w_p)
+            s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
+            r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
+            w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
 
             ks_t = kap_t // B
             s_new = jnp.concatenate([s_new, ks_t])
@@ -509,14 +540,11 @@ def _eliminate_impl_fast(
 
             pending_next = pending & jnp.logical_not(elim)
             if next_P is not None:
-                # safe active-count bound for the NEXT round (see the staged
-                # schedule note above): start-of-round degrees over the
-                # surviving pending set, plus sum(deg over elim) which
-                # dominates any degree this round's emissions add; x2 because
-                # a one-pending-endpoint edge has two directed copies but is
-                # counted once via the pending side's degree.
-                bound = 2 * (jnp.sum(jnp.where(pending_next, deg, 0))
-                             + jnp.sum(jnp.where(elim, deg, 0)))
+                # safe active-count bound for the NEXT round: the exact
+                # start-of-round active count (active edges only shrink as
+                # pending shrinks) plus sum(deg over elim), which dominates
+                # the new active edges this round's emissions can add.
+                bound = n_active + jnp.sum(jnp.where(elim, deg, 0))
             else:
                 bound = st["bound"]
             return dict(
@@ -538,8 +566,8 @@ def _eliminate_impl_fast(
         key=key, rnd=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), bool),
     )
-    s_full, r_full, w_full = senders, receivers, weights
-    stages = _stage_sizes(e_cap) if compact else (e_cap,)
+    s_full, r_full, w_full = sh, rh, wh
+    stages = _stage_sizes(e_half) if compact else (e_half,)
     for si, P in enumerate(stages):
         next_P = stages[si + 1] if si + 1 < len(stages) else None
         if compact:
@@ -553,9 +581,12 @@ def _eliminate_impl_fast(
             e_t = P
         st = dict(senders=s_full[:P], receivers=r_full[:P],
                   weights=w_full[:P], **carry)
-        st["bound"] = (pending_bound(st["senders"], carry["pending"])
+        st["bound"] = (pending_bound(st["senders"], st["receivers"],
+                                     carry["pending"])
                        if next_P is not None else jnp.zeros((), jnp.int32))
-        cond, body = make_stage(P, e_t, next_P)
+        sub = (subiters if isinstance(subiters, int)
+               else subiters[min(si, len(subiters) - 1)])
+        cond, body = make_stage(P, e_t, next_P, sub)
         out = jax.lax.while_loop(cond, body, st)
         carry = {k: out[k] for k in carry}
         sP, rP, wP = out["senders"], out["receivers"], out["weights"]
@@ -573,7 +604,15 @@ def _eliminate_impl_fast(
         s_full = jnp.concatenate([sP, s_full[P:]])
         r_full = jnp.concatenate([rP, r_full[P:]])
         w_full = jnp.concatenate([wP, w_full[P:]])
-    return (s_full, r_full, w_full, carry["removed"], carry["rnd"],
+
+    # ---- unfold the canonical pool back to symmetric directed COO --------
+    pad = max(0, e_cap - 2 * e_half)  # 1 when e_cap is odd
+    pad_s = jnp.full((pad,), n, jnp.int32)
+    pad_w = jnp.zeros((pad,), wdtype)
+    s_dir = jnp.concatenate([s_full, r_full, pad_s])[:e_cap]
+    r_dir = jnp.concatenate([r_full, s_full, pad_s])[:e_cap]
+    w_dir = jnp.concatenate([w_full, w_full, pad_w])[:e_cap]
+    return (s_dir, r_dir, w_dir, carry["removed"], carry["rnd"],
             carry["overflow"])
 
 

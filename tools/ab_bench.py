@@ -17,7 +17,9 @@ import numpy as np
 def main():
     divs = tuple(int(x) for x in (sys.argv[1] if len(sys.argv) > 1
                                   else "4,16").split(",") if x)
-    subiters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sub_arg = sys.argv[2] if len(sys.argv) > 2 else "3"
+    subiters = (tuple(int(x) for x in sub_arg.split(":"))
+                if ":" in sub_arg else int(sub_arg))
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
     import jax
