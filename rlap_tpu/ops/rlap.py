@@ -83,22 +83,6 @@ _VALID_SCHEDULE = ("fast", "luby")
 _INT_MAX = np.iinfo(np.int32).max
 
 
-def _pair_hash(a, b, salt):
-    """Symmetric per-undirected-pair hash -> non-negative int32 sort key.
-
-    Symmetry (h(a,b) == h(b,a)) is what lets the flip-index mirror trick work
-    for `o_n="random"`: both directions of an edge sort under the same key.
-    murmur3-style finalizer for mixing quality.
-    """
-    x = jnp.minimum(a, b).astype(jnp.uint32) * np.uint32(0x9E3779B1)
-    y = jnp.maximum(a, b).astype(jnp.uint32) * np.uint32(0x85EBCA77)
-    h = x ^ y ^ salt
-    h = (h ^ (h >> 16)) * np.uint32(0x7FEB352D)
-    h = (h ^ (h >> 15)) * np.uint32(0x846CA68B)
-    h = h ^ (h >> 16)
-    return (h >> 1).astype(jnp.int32)
-
-
 def _segmented_cumsum(vals, heads):
     """Exact inclusive cumsum within segments (reset at head flags).
 
@@ -114,20 +98,6 @@ def _segmented_cumsum(vals, heads):
 
     out, _ = jax.lax.associative_scan(combine, (vals, heads))
     return out
-
-
-def _batched_searchsorted_window(c, q, lo0, hi0, steps: int):
-    """Per-element first index k in [lo0, hi0) with c[k] > q; returns hi0 if
-    none. Static-depth binary search, vectorized over all edges."""
-    lo = lo0
-    hi = hi0
-    for _ in range(steps):
-        mid = (lo + hi) // 2
-        v = c[jnp.clip(mid, 0, c.shape[0] - 1)]
-        go_right = (v <= q) & (mid < hi0)
-        lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
-    return lo
 
 
 def _segmented_maxscan_rev(vals, heads):
@@ -231,10 +201,11 @@ def _eliminate_impl_fast(
     senders, receivers, weights, key,
     t,  # traced: number of vertices to eliminate
     *,
-    n: int, o_v: str, schedule: str, subiters: int = 3,
-    sampler: str = "independent", compact: bool = True,
+    n: int, o_v: str, o_n: str = "random", schedule: str = "fast",
+    subiters: int = 3, sampler: str = "independent", compact: bool = True,
 ):
-    """Pair-grouped rounds-of-independent-sets elimination (o_n="random").
+    """Staged rounds-of-independent-sets elimination (all o_v and o_n modes;
+    graphs beyond the int32 key-packing bound use two-key sorts).
 
     TPU-first redesign of the reference's sequential loop
     (`preconditioner.cc:713-787`) built around measured TPU primitive costs
@@ -293,10 +264,13 @@ def _eliminate_impl_fast(
     e_cap = senders.shape[0]
     wdtype = weights.dtype
     B = n + 1
-    if n * (n + 2) >= _INT_MAX:
-        raise ValueError("fast path requires n*(n+2) < 2^31; use sorted path")
+    # (owner, other) pairs pack into one int32 sort key only while
+    # n*(n+2) < 2^31; larger graphs use two-key sorts with the raw ids.
+    packed = n * (n + 2) < _INT_MAX
     if sampler not in ("independent", "race"):
         raise ValueError(f"unknown sampler {sampler!r}")
+    if o_v == "coarsen":
+        o_n = "random"  # CoarseningPreconditioner forces o_n (cc:830-833)
 
     # ---- canonical half-edge pool ----------------------------------------
     # The symmetric directed input (both copies present; the reference
@@ -310,10 +284,15 @@ def _eliminate_impl_fast(
     e_half = max(e_cap // 2, 1)
     fkey = jnp.where((senders < n) & (senders < receivers),
                      jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
-    fkap = senders * B + receivers
-    _, fkap, fw = jax.lax.sort((fkey, fkap, weights), num_keys=1)
-    sh = fkap[:e_half] // B
-    rh = fkap[:e_half] - sh * B
+    if packed:
+        fkap = senders * B + receivers
+        _, fkap, fw = jax.lax.sort((fkey, fkap, weights), num_keys=1)
+        sh = fkap[:e_half] // B
+        rh = fkap[:e_half] - sh * B
+    else:
+        _, fs, fr, fw = jax.lax.sort(
+            (fkey, senders, receivers, weights), num_keys=1)
+        sh, rh = fs[:e_half], fr[:e_half]
     wh = fw[:e_half]
     # the slice's tail may hold (v, u) reverse copies that sorted behind the
     # canonical block; they decode with sh >= rh — blank them to padding
@@ -442,27 +421,63 @@ def _eliminate_impl_fast(
             es = elim_pad[s] & live
             er = elim_pad[r] & live
 
-            # ---- the one pool sort: touched edges pair-grouped by their
-            # eliminated endpoint, untouched edges ride to the tail -------------
-            rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
-            kap = s * B + r  # identity payload (padding decodes to (n, n))
-            rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
-
-            # untouched suffix passes through unchanged
-            kap_t = kap[e_t:]
+            # ---- the one pool sort: touched edges grouped by their
+            # eliminated endpoint, untouched edges ride to the tail ----------
+            if packed:
+                rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
+                kap = s * B + r  # identity payload (padding decodes (n, n))
+                rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
+                kap_t = kap[e_t:]
+                ks_t = kap_t // B
+                kr_t = kap_t - ks_t * B
+                rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
+                touched = rho_p < big
+                owner = jnp.where(touched, rho_p // B, n)
+                other = jnp.where(touched, rho_p - owner * B, n)
+                ks = kap_p // B
+                kr = kap_p - ks * B
+                same = rho_p[1:] == rho_p[:-1]
+            else:
+                ow_a = jnp.where(es, s, jnp.where(er, r, big))
+                ot_a = jnp.where(es, r, jnp.where(er, s, big))
+                ow_a, ot_a, sq, rq, w = jax.lax.sort(
+                    (ow_a, ot_a, s, r, w), num_keys=2)
+                ks_t, kr_t = sq[e_t:], rq[e_t:]
+                w_p = w[:e_t]
+                touched = ow_a[:e_t] < big
+                owner = jnp.where(touched, ow_a[:e_t], n)
+                other = jnp.where(touched, ot_a[:e_t], n)
+                ks, kr = sq[:e_t], rq[:e_t]
+                same = ((owner[1:] == owner[:-1])
+                        & (other[1:] == other[:-1])) & touched[1:]
             w_t = w[e_t:]
-            rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
 
-            touched = rho_p < big
-            owner = jnp.where(touched, rho_p // B, n)
-            other = jnp.where(touched, rho_p - owner * B, n)
-
-            # ---- runs: duplicate canonical copies of one pair share a rho ----
-            same = rho_p[1:] == rho_p[:-1]
+            # ---- runs: duplicate canonical copies of one pair share a key ----
             head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
             is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
             run_sum = _segmented_cumsum(w_p, head_run)
             v = jnp.where(is_tail, run_sum, zero_w)  # column weight v_ij
+
+            if o_n in ("asc", "desc"):
+                # o_n orders each eliminated column by weight before the
+                # suffix-CDF pass (compressColumn's sort, cc:295-307): one
+                # cheap prefix-only sort of the merged run tails by
+                # (owner, +-v). Non-tail duplicates were already merged into
+                # their tail, so their identity retires to padding first.
+                pad_mask = touched & jnp.logical_not(is_tail)
+                ks = jnp.where(pad_mask, n, ks)
+                kr = jnp.where(pad_mask, n, kr)
+                w_p = jnp.where(pad_mask, zero_w, w_p)
+                own_t = jnp.where(is_tail, owner, big)
+                o_key = v.astype(jnp.float32)
+                o_key = jnp.where(is_tail,
+                                  o_key if o_n == "asc" else -o_key,
+                                  jnp.asarray(jnp.inf, jnp.float32))
+                own_t, _, other, v, ks, kr, w_p = jax.lax.sort(
+                    (own_t, o_key, other, v, ks, kr, w_p), num_keys=2)
+                owner = jnp.where(own_t < big, own_t, n)
+                touched = own_t < big
+                is_tail = touched
 
             # ---- suffix-CDF sampling over run tails within each owner column --
             hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
@@ -527,15 +542,12 @@ def _eliminate_impl_fast(
             # touched slot retires to padding -------------------------------
             can_s = jnp.minimum(other, partner)
             can_r = jnp.maximum(other, partner)
-            ks = kap_p // B
-            kr = kap_p - ks * B
             s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
             r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
             w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
 
-            ks_t = kap_t // B
             s_new = jnp.concatenate([s_new, ks_t])
-            r_new = jnp.concatenate([r_new, kap_t - ks_t * B])
+            r_new = jnp.concatenate([r_new, kr_t])
             w_new = jnp.concatenate([w_new, w_t])
 
             pending_next = pending & jnp.logical_not(elim)
@@ -597,10 +609,13 @@ def _eliminate_impl_fast(
             pend_pad = jnp.concatenate([carry["pending"], f1])
             act = (sP < n) & (pend_pad[sP] | pend_pad[rP])
             akey = jnp.where(act, 0, 1).astype(jnp.int32)
-            kapP = sP * B + rP
-            _, kapP, wP = jax.lax.sort((akey, kapP, wP), num_keys=1)
-            sP = kapP // B
-            rP = kapP - sP * B
+            if packed:
+                kapP = sP * B + rP
+                _, kapP, wP = jax.lax.sort((akey, kapP, wP), num_keys=1)
+                sP = kapP // B
+                rP = kapP - sP * B
+            else:
+                _, sP, rP, wP = jax.lax.sort((akey, sP, rP, wP), num_keys=1)
         s_full = jnp.concatenate([sP, s_full[P:]])
         r_full = jnp.concatenate([rP, r_full[P:]])
         w_full = jnp.concatenate([wP, w_full[P:]])
@@ -614,202 +629,6 @@ def _eliminate_impl_fast(
     w_dir = jnp.concatenate([w_full, w_full, pad_w])[:e_cap]
     return (s_dir, r_dir, w_dir, carry["removed"], carry["rnd"],
             carry["overflow"])
-
-
-def _segmented_minscan(vals, heads):
-    """Inclusive per-segment running minimum (reset at head flags)."""
-
-    def combine(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, jnp.minimum(va, vb)), fa | fb
-
-    out, _ = jax.lax.associative_scan(combine, (vals, heads))
-    return out
-
-
-def _eliminate_impl(
-    senders, receivers, weights, key,
-    t,  # traced: number of vertices to eliminate
-    *,
-    n: int, o_v: str, o_n: str, schedule: str,
-):
-    """One full elimination run. All shapes static; returns final edge list."""
-    e_cap = senders.shape[0]
-    wdtype = weights.dtype
-    steps = max(1, int(np.ceil(np.log2(e_cap + 1))))
-
-    key, kperm = jax.random.split(key)
-    perm = jax.random.permutation(kperm, n)
-    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32))
-
-    if o_v == "random":
-        # the eliminated set is the first t of the permutation, exactly as
-        # the sequential reference (`preconditioner.cc:588-613`)
-        pending = pos < t
-    else:
-        # min-degree modes eliminate whichever nodes reach local degree
-        # minima; the budget cap below stops at t total, like the PQ loop.
-        pending = jnp.ones((n,), bool)
-
-    state = dict(
-        senders=senders, receivers=receivers, weights=weights,
-        pending=pending, removed=jnp.zeros((), jnp.int32),
-        npend=jnp.sum(pending.astype(jnp.int32)),
-        key=key, rnd=jnp.zeros((), jnp.int32),
-    )
-
-    def cond(st):
-        # scalars only: a cond that reads array state forces a per-iteration
-        # host round-trip on remote-executed backends (~100x slowdown).
-        return (st["npend"] > 0) & (st["removed"] < t)
-
-    def body(st):
-        s, r, w = st["senders"], st["receivers"], st["weights"]
-        pending = st["pending"]
-        rkey = jax.random.fold_in(st["key"], st["rnd"])
-        k_on, k_u = jax.random.split(rkey, 2)
-
-        live = s < n
-        ones = live.astype(jnp.int32)
-        deg = jax.ops.segment_sum(ones, s, num_segments=n + 1)[:n]
-
-        # ---- round selection: strict local minima of `prio` over pending ---
-        if o_v == "random" and schedule == "luby":
-            prio = pos
-        else:
-            # lexicographic (degree, random-pos) packed into int32; the
-            # clamp keeps the pack exact for any n (ties only shrink the
-            # round, never break correctness).
-            dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
-            prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
-
-        big = jnp.asarray(_INT_MAX, jnp.int32)
-        prio_pad = jnp.concatenate([jnp.where(pending, prio, big),
-                                    jnp.full((1,), big, jnp.int32)])
-        # min over pending neighbors, via edges (i -> j): prio[j] scatters
-        # to i's segment
-        nbr_prio = jnp.where(live, prio_pad[r], big)
-        nmin = jax.ops.segment_min(nbr_prio, s, num_segments=n + 1)[:n]
-        elim = pending & (prio < nmin)
-
-        if o_v != "random":
-            # cap this round at the remaining elimination budget, preferring
-            # the lowest (degree, tiebreak) priorities — the PQ pop order.
-            remaining = t - st["removed"]
-            sorted_prio = jnp.sort(jnp.where(elim, prio, big))
-            kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
-            elim = elim & (prio <= kth) & (remaining > 0)
-
-        b_count = jnp.sum(elim.astype(jnp.int32))
-        elim_pad = jnp.concatenate([elim, jnp.zeros((1,), bool)])
-
-        # ---- frame F: sort edges by (sender, o_n key, receiver) -----------
-        if o_v == "coarsen":
-            o_n_eff = "random"  # CoarseningPreconditioner forces o_n="random"
-        else:
-            o_n_eff = o_n
-        if o_n_eff == "asc":
-            k2 = w.astype(jnp.float32)
-        elif o_n_eff == "desc":
-            k2 = -w.astype(jnp.float32)
-        else:
-            salt = jax.random.bits(k_on, dtype=jnp.uint32)
-            k2 = _pair_hash(s, r, salt).astype(jnp.float32)
-        # padding edges (s == n) sort to the tail via the primary key
-        orderF = jnp.lexsort((r, k2, s))
-        sF = s[orderF]
-        rF = r[orderF]
-        wF = w[orderF]
-        k2F = k2[orderF]
-        liveF = sF < n
-        # flip-index mirror (involution): the k-th edge in (r, key, s) order
-        # is the mirror of the k-th edge in (s, key, r) order.
-        mirrorF = jnp.lexsort((sF, k2F, rF)).astype(jnp.int32)
-
-        # ---- per-column geometry in frame F -------------------------------
-        head = jnp.concatenate([
-            jnp.ones((1,), bool), (sF[1:] != sF[:-1])]) & liveF
-        col_elim = elim_pad[sF]
-        degF = jnp.concatenate([deg, jnp.zeros((1,), jnp.int32)])[
-            jnp.clip(sF, 0, n)]
-        idx = jnp.arange(e_cap, dtype=jnp.int32)
-        # start of each edge's segment: idx of the segment head
-        startF = _segmented_cumsum(
-            jnp.where(head, idx, 0), head).astype(jnp.int32)
-        posF = idx - startF
-        endF = startF + degF  # one past the last live edge of the column
-
-        vmask = jnp.where(liveF & col_elim, wF, jnp.zeros((), wdtype))
-        cum = _segmented_cumsum(vmask, head)
-        csum_col = cum[jnp.clip(endF - 1, 0, e_cap - 1)]
-        csum = jnp.where(liveF, csum_col, 0.0)
-        suffix = csum - cum
-
-        if o_v == "coarsen":
-            # one partner per column ~ v_k / csum; rewire every other
-            # neighbor onto it with harmonic weights
-            # (`preconditioner.cc:866-912`)
-            u_node = jax.random.uniform(k_u, (n + 1,), dtype=jnp.float32)
-            rv = u_node[jnp.clip(sF, 0, n)].astype(wdtype) * csum
-            q = _batched_searchsorted_window(cum, rv, startF, endF, steps)
-            q = jnp.clip(q, startF, jnp.maximum(endF - 1, startF))
-            partner = rF[jnp.clip(q, 0, e_cap - 1)]
-            w_k = wF[jnp.clip(q, 0, e_cap - 1)]
-            emit = liveF & col_elim & (idx != q) & (csum > 0)
-            denom = jnp.where(wF + w_k > 0, wF + w_k, 1.0)
-            wnew = jnp.where(emit, wF * w_k / denom, 0.0)
-        else:
-            # clique sampling: partner from the suffix distribution
-            u = jax.random.uniform(k_u, (e_cap,),
-                                   dtype=jnp.float32).astype(wdtype)
-            rv = cum + u * suffix
-            q = _batched_searchsorted_window(cum, rv, startF, endF, steps)
-            q = jnp.clip(q, startF, jnp.maximum(endF - 1, startF))
-            partner = rF[jnp.clip(q, 0, e_cap - 1)]
-            emit = liveF & col_elim & (posF < degF - 1) & (csum > 0)
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, wF * suffix / csafe, 0.0)
-
-        # ---- write-back, all gathers/selects (no scatters) ----------------
-        # kill every edge touching an eliminated vertex, then overwrite:
-        #  * slot e (sender eliminated, emitting): the new edge (rF, partner)
-        #  * slot mirrorF[e']: its mirror (partner', rF') — reached by
-        #    gathering e' = mirrorF[e] since mirrorF is an involution
-        kill = liveF & (col_elim | elim_pad[rF])
-        s1 = jnp.where(kill, n, sF)
-        r1 = jnp.where(kill, n, rF)
-        w1 = jnp.where(kill, jnp.zeros((), wdtype), wF)
-
-        s2 = jnp.where(emit, rF, s1)
-        r2 = jnp.where(emit, partner, r1)
-        w2 = jnp.where(emit, wnew, w1)
-
-        m_emit = emit[mirrorF]
-        s3 = jnp.where(m_emit, partner[mirrorF], s2)
-        r3 = jnp.where(m_emit, rF[mirrorF], r2)
-        w3 = jnp.where(m_emit, wnew[mirrorF], w2)
-
-        # merge duplicate (s, r) pairs before the next round
-        # (the `compressColumn` merge, preconditioner.cc:641-676)
-        gg = Graph(senders=s3, receivers=r3, weights=w3, num_nodes=n)
-        gg = G.coalesce(gg)
-        gg = G.drop_zero_weight(gg)
-
-        pending_next = pending & jnp.logical_not(elim)
-        return dict(
-            senders=gg.senders, receivers=gg.receivers, weights=gg.weights,
-            pending=pending_next,
-            removed=st["removed"] + b_count,
-            npend=jnp.sum(pending_next.astype(jnp.int32)),
-            key=st["key"],
-            rnd=st["rnd"] + 1,
-        )
-
-    out = jax.lax.while_loop(cond, body, state)
-    return (out["senders"], out["receivers"], out["weights"],
-            out["removed"], out["rnd"])
 
 
 @functools.partial(
@@ -840,22 +659,14 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     # (`while(it <= t && it < n)`, preconditioner.cc:723)
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), g.num_nodes - 1)
     n = g.num_nodes
-    use_fast = (o_n == "random" or o_v == "coarsen") and n * (n + 2) < _INT_MAX
-    if use_fast:
-        s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
-            gg.senders, gg.receivers, gg.weights, key, t,
-            n=n, o_v=o_v, schedule=schedule, sampler=sampler,
-            compact=compact, subiters=subiters)
-    else:
-        s, r, w, removed, _rounds = _eliminate_impl(
-            gg.senders, gg.receivers, gg.weights, key, t,
-            n=n, o_v=o_v, o_n=o_n, schedule=schedule)
-        overflow = jnp.zeros((), bool)
+    s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
+        gg.senders, gg.receivers, gg.weights, key, t,
+        n=n, o_v=o_v, o_n=o_n, schedule=schedule, sampler=sampler,
+        compact=compact, subiters=subiters)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=g.num_nodes,
                 x=g.x, node_mask=g.node_mask)
-    if use_fast:
-        # the fast path's last write-back leaves uncoalesced emissions
-        out = G.drop_zero_weight(G.coalesce_fast(out))
+    # the last write-back leaves uncoalesced emissions
+    out = G.drop_zero_weight(G.coalesce_fast(out))
     return out, removed, overflow
 
 

@@ -137,3 +137,46 @@ def test_jit_composable():
     assert int(removed) == 20
     assert not bool(overflow)
     assert float(wsum) > 0
+
+
+def _sym_invariants(out, n, t, removed):
+    s = np.asarray(out.senders)
+    r = np.asarray(out.receivers)
+    w = np.asarray(out.weights)
+    m = s < n
+    s, r, w = s[m], r[m], w[m]
+    assert (w > 0).all()
+    fwd = {}
+    for a, b, c in zip(s.tolist(), r.tolist(), w.tolist()):
+        fwd[(a, b)] = fwd.get((a, b), 0.0) + c
+    assert all(abs(fwd[(a, b)] - fwd.get((b, a), -1.0)) < 1e-3 for a, b in fwd)
+    assert int(removed) == t
+    assert np.unique(np.concatenate([s, r])).shape[0] == n - t
+
+
+@pytest.mark.parametrize("o_n", ["asc", "desc"])
+def test_o_n_ordered_fast_path(o_n):
+    """asc/desc run on the staged kernel (the column-order sort of merged
+    run tails, compressColumn's o_n sort `preconditioner.cc:295-307`)."""
+    from rlap_tpu.ops.rlap import eliminate
+
+    g = barabasi_albert(300, 4, seed=2)
+    out, removed, _ = eliminate(g, jax.random.PRNGKey(3), 90, o_n=o_n)
+    _sym_invariants(out, 300, 90, removed)
+
+
+def test_unpacked_large_n():
+    """n beyond the int32 key-packing bound (n*(n+2) >= 2^31) routes to the
+    two-key sorts; a 47k ring stays a ring under elimination."""
+    from rlap_tpu.ops.rlap import eliminate
+
+    n, t = 47000, 20000
+    idx = np.arange(n, dtype=np.int32)
+    s = np.concatenate([idx, (idx + 1) % n])
+    r = np.concatenate([(idx + 1) % n, idx])
+    g = G.Graph(senders=jnp.asarray(s), receivers=jnp.asarray(r),
+                weights=jnp.ones(2 * n, jnp.float32), num_nodes=n)
+    out, removed, _ = eliminate(g, jax.random.PRNGKey(5), t)
+    _sym_invariants(out, n, t, removed)
+    live = int(np.sum(np.asarray(out.senders) < n))
+    assert live == 2 * (n - t)  # a ring's Schur complement is a ring
