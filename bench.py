@@ -7,6 +7,14 @@ Prints ONE JSON line:
 where the baseline is the single-thread sequential C++ engine (same
 algorithm as the reference's `preconditioner.cc`) on this host's CPU.
 All diagnostics go to stderr.
+
+Default size: BA(n=100000, m=8), t=n/2 — the production-scale regime this
+framework targets (1.6M directed edges; the TPU kernel's throughput is
+nearly size-invariant while the sequential engine degrades once its
+working set outgrows the CPU caches). `python bench.py 20000` reproduces
+the small-graph point; both are recorded in BENCH_EXTRA.md. The oracle's
+CPU time varies ~4x run to run on this shared host, so the baseline is a
+median of 5.
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ def main():
     from rlap_tpu.native import oracle_approximate_cholesky
     from rlap_tpu.ops.rlap import eliminate
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100000
     m = 8
     frac = 0.5
     t = int(frac * n)

@@ -44,13 +44,20 @@ def main():
     g, _ = synthetic_node_dataset(n=n, feature_dim=128,
                                   p_in=min(20.0 / n, 1.0),
                                   p_out=min(2.0 / n, 1.0), seed=0)
+    # graph-level task: block-diagonal batch, the reference's DataLoader
+    # batch_size=128 path (`augmentor_benchmarks.py:380-393`)
+    graphs, _ = synthetic_graph_dataset(num_graphs=128, seed=1)
 
-    todo = [nm for nm in AUGMENTOR_NAMES if nm not in out["results"]]
+    todo = [nm for nm in AUGMENTOR_NAMES
+            if nm not in out["results"]
+            or nm + "/batch" not in out["results"]]
     for name in todo:
-        res = bench_all(g, names=[name], fraction=0.2, repeats=repeats)
-        out["results"][name] = res[name]
+        res = bench_all(g, names=[name], fraction=0.2, repeats=repeats,
+                        graphs=graphs)
+        out["results"].update(res)
         print(f"{name:28s} {res[name]['latency_ms_mean']:10.1f} ms  "
-              f"{res[name]['edges_per_s']:14,.0f} edges/s", flush=True)
+              f"{res[name]['edges_per_s']:14,.0f} edges/s  (+batch)",
+              flush=True)
         with open(path, "w") as f:  # incremental: survive timeouts
             json.dump(out, f, indent=1)
     print(f"wrote {path} ({len(out['results'])} augmentors)", flush=True)
