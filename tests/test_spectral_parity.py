@@ -49,7 +49,7 @@ def _kernel_stats(g, t, o_v, o_n, seed):
 
 
 @pytest.mark.parametrize("o_v,o_n", [
-    ("random", "random"), ("random", "asc"),
+    ("random", "random"), ("random", "asc"), ("random", "desc"),
     ("degree", "random"), ("coarsen", "random"),
 ])
 @pytest.mark.parametrize("frac", [0.25, 0.5])

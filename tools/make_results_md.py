@@ -1,0 +1,49 @@
+"""Regenerate RESULTS.md from results/*.jsonl — the reference's
+`prepare_final_stats.py` tables without the stdout scraping.
+
+Usage: python tools/make_results_md.py [results_dir]
+"""
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rlap_tpu.utils.logging import read_metrics, results_table  # noqa: E402
+
+
+def main():
+    rdir = sys.argv[1] if len(sys.argv) > 1 else "results"
+    paths = sorted(glob.glob(os.path.join(rdir, "*.jsonl")))
+    synthetic = any(rec.get("synthetic")
+                    for p in paths for rec in read_metrics(p, "dataset"))
+    lines = [
+        "# Recipe results (linear-probe accuracy, mean±std over eval "
+        "repeats)",
+        "",
+        f"Generated from `{rdir}/*.jsonl` by `tools/make_results_md.py`; "
+        "runs executed on the axon TPU v5e.",
+    ]
+    if synthetic:
+        lines += ["", "Datasets are deterministic synthetic stand-ins of "
+                  "the reference datasets' shape (zero-egress environment; "
+                  "real files load via `$RLAP_TPU_DATA` when present) — "
+                  "numbers demonstrate the training pipelines end to end, "
+                  "not published-benchmark parity."]
+    lines += ["", "## By recipe", "",
+              results_table(paths, metric="accuracy", row_key="recipe",
+                            col_key="dataset"),
+              "", "## By augmentor", "",
+              results_table(paths, metric="accuracy", row_key="augmentor",
+                            col_key="dataset"),
+              "", "## Micro-F1 by recipe", "",
+              results_table(paths, metric="micro_f1", row_key="recipe",
+                            col_key="dataset"), ""]
+    with open("RESULTS.md", "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote RESULTS.md from {len(paths)} run files")
+
+
+if __name__ == "__main__":
+    main()
