@@ -361,10 +361,14 @@ def _eliminate_impl_fast(
 
             # ---- degrees (duplicate copies counted, like the reference's
             # lazily-decremented PQ degrees); each canonical edge feeds both
-            # endpoints ---------------------------------------------------
-            one = live.astype(jnp.int32)
-            deg = jnp.zeros((n + 1,), jnp.int32).at[s].add(
-                one).at[r].add(one)[:n]
+            # endpoints. Both-endpoint scatters/gathers below run as ONE
+            # 2P-element op on a concatenated index array — same element
+            # count, fewer serialized scatter passes. --------------------
+            sr = jnp.concatenate([s, r])
+            rs = jnp.concatenate([r, s])
+            live2 = jnp.concatenate([live, live])
+            deg = jnp.zeros((n + 1,), jnp.int32).at[sr].add(
+                live2.astype(jnp.int32))[:n]
 
             if o_v == "random" and schedule == "luby":
                 prio = pos
@@ -380,16 +384,16 @@ def _eliminate_impl_fast(
             for it in range(max(1, sub)):
                 pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
                 pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
-                nbr_r = jnp.where(live, pack_pad[r], big)
-                nbr_s = jnp.where(live, pack_pad[s], big)
+                nbr2 = jnp.where(live2, pack_pad[rs], big)
                 if it == 0 and next_P is not None:
                     # free exact active count: at sub-round 0 cand == pending,
                     # so pack[u] < big <=> u pending — an edge is active iff
                     # either gathered pack is finite.
-                    n_active = jnp.sum((live & ((nbr_r < big) | (nbr_s < big))
+                    half_p = nbr2.shape[0] // 2
+                    n_active = jnp.sum((live & ((nbr2[:half_p] < big)
+                                                | (nbr2[half_p:] < big))
                                         ).astype(jnp.int32))
-                nmin = (jnp.full((n + 1,), big, jnp.int32)
-                        .at[s].min(nbr_r).at[r].min(nbr_s))[:n]
+                nmin = jnp.full((n + 1,), big, jnp.int32).at[sr].min(nbr2)[:n]
                 sel = cand & (prio < nmin) & (nmin >= 0)
                 elim = elim | sel
                 cand = cand & jnp.logical_not(sel) & (nmin >= 0)
@@ -418,8 +422,9 @@ def _eliminate_impl_fast(
 
             b_count = jnp.sum(elim.astype(jnp.int32))
             elim_pad = jnp.concatenate([elim, f1])
-            es = elim_pad[s] & live
-            er = elim_pad[r] & live
+            e2 = elim_pad[sr] & live2
+            es = e2[:s.shape[0]]
+            er = e2[s.shape[0]:]
 
             # ---- the one pool sort: touched edges grouped by their
             # eliminated endpoint, untouched edges ride to the tail ----------
