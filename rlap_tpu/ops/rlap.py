@@ -243,8 +243,9 @@ def _eliminate_impl_fast(
       order: for a pair (a, b) with a earlier, only a emits toward b, with
       probability v_b/S_a and weight v_a*S_a/csum, so E[w(a,b)] =
       v_a*v_b/csum by the f(1-f) telescoping. o_n="asc"/"desc" shape only
-      the variance and are served by the sorted-frame path
-      (`_eliminate_impl`). Two partner samplers:
+      the variance: they ride this same staged kernel via one extra
+      prefix-only sort of the merged run tails by (owner, +-v). Two
+      partner samplers:
       - "independent" (default): per-neighbor independent inverse-CDF
         draws located by a merge-based rank lookup (`_last_le_lookup`) —
         matches the reference's distribution exactly;
@@ -652,6 +653,14 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     `overflow` is True only when `compact` round-budgeting could not fit a
     single vertex's column into the static prefix (re-run with
     compact=False, which has no caps).
+
+    `sampler`: "independent" (default) draws each neighbor's clique
+    partner independently — the reference's exact distribution. "race" is
+    ~8 ms/round cheaper but its partner draws are positively correlated
+    within a column, which inflates the output's top singular value by
+    ~20% on BA graphs — opt in ONLY for throughput-bound augmentation
+    where spectral fidelity does not matter (never for spectral analysis
+    or parity work).
     """
     del b_cap, d_cap
     if schedule not in _VALID_SCHEDULE:
