@@ -197,6 +197,303 @@ def _stage_sizes(e_cap: int, floor: int = 8192) -> Tuple[int, ...]:
     return tuple(sizes)
 
 
+def _window_params(e_half: int, n: int, e_cap: int) -> Tuple[int, int]:
+    """Static (W, A) schedule for `_eliminate_impl_windowed`.
+
+    A is the active-prefix cap every round op runs on; W is the number of
+    permutation positions opened per window. W is sized so the edges
+    incident to a window's candidates fit A with ~2.5x slack over the
+    *initial* average degree: by t = n/2 the average remaining degree
+    roughly doubles (eliminations conserve edge count to first order while
+    vertices drain), and spilled stragglers add ~15%. Small pools skip
+    windowing entirely (one window = the whole permutation)."""
+    if e_half <= 65536:
+        return n, e_half
+    A = min(e_half, max(65536, ((e_half // 2 + 1023) // 1024) * 1024))
+    d0 = max(2.0, e_cap / max(n, 1))  # initial undirected degree
+    W = max(1024, int(A / (2.5 * d0)))
+    return W, A
+
+
+def _eliminate_impl_windowed(
+    senders, receivers, weights, key,
+    t,  # traced: number of vertices to eliminate
+    *,
+    n: int, o_n: str = "random", subiters: int = 3,
+    sampler: str = "independent",
+    window: Optional[int] = None, active_cap: Optional[int] = None,
+):
+    """Windowed rounds-of-independent-sets elimination (o_v="random").
+
+    The round-3 performance design. The staged kernel
+    (`_eliminate_impl_fast`) keeps ALL `t` targets pending from the first
+    round, so its early rounds pay per-element-priced gathers/scatters over
+    nearly the whole edge pool. This variant opens the elimination
+    permutation in *windows* of W positions: each outer step
+    (1) advances `wmark` by W, making candidates = still-pending targets
+        with `pos < wmark`;
+    (2) packs every edge with a candidate endpoint into a static prefix
+        [0, A) with ONE full-pool sort (the *transition*) — a live edge's
+        endpoint is a candidate iff its position-if-target value, a static
+        per-vertex table, is below `wmark`, because eliminated vertices
+        have no live edges; and
+    (3) runs ONE round on that prefix: packed Luby selection with
+        prio = pos (the sequential order itself — no degree pass, no
+        budget trim), the rho pool sort, segmented scans, suffix-CDF
+        sampling, and in-place write-back, all A-sized.
+
+    Candidates blocked by a selected neighbor *spill*: they stay pending
+    and ride into the next window's candidate set (their edges are
+    re-packed by the next transition), so no mop-up rounds run at window
+    granularity; once `wmark` covers the whole permutation the remaining
+    stragglers drain in a couple of final rounds.
+
+    Exactness is the staged kernel's argument unchanged: the eliminated
+    set is exactly the first t of the permutation, every round eliminates
+    an independent set, and the per-column sampler is unbiased, so the
+    expected output is the true Schur complement of that set (see module
+    docstring). Windowing only reorders *rounds*, which the tower property
+    already covers.
+
+    Why the prefix is safe: all edges incident to a candidate are packed
+    into [0, A) by the transition (or `overflow` is raised and the caller
+    escalates to the uncapped staged path). A round only touches edges
+    incident to its eliminated set (a subset of candidates), and each
+    emission overwrites a touched slot, so no round ever reads or writes
+    beyond the prefix; edges beyond A have no candidate endpoint and are
+    untouched by construction.
+
+    Matches the same reference semantics as `_eliminate_impl_fast`
+    (`preconditioner.cc:713-787` loop, `:748-757` suffix sampling,
+    `:761-772` storage reuse).
+    """
+    e_cap = senders.shape[0]
+    wdtype = weights.dtype
+    B = n + 1
+    packed = n * (n + 2) < _INT_MAX
+    if sampler not in ("independent", "race"):
+        raise ValueError(f"unknown sampler {sampler!r}")
+
+    # ---- canonical half-edge pool (same fold as the staged kernel) -------
+    e_half = max(e_cap // 2, 1)
+    fkey = jnp.where((senders < n) & (senders < receivers),
+                     jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
+    if packed:
+        fkap = senders * B + receivers
+        _, fkap, fw = jax.lax.sort((fkey, fkap, weights), num_keys=1)
+        sh = fkap[:e_half] // B
+        rh = fkap[:e_half] - sh * B
+    else:
+        _, fs, fr, fw = jax.lax.sort(
+            (fkey, senders, receivers, weights), num_keys=1)
+        sh, rh = fs[:e_half], fr[:e_half]
+    wh = fw[:e_half]
+    good = sh < rh
+    sh = jnp.where(good, sh, n)
+    rh = jnp.where(good, rh, n)
+    wh = jnp.where(good, wh, jnp.zeros((), wdtype))
+
+    key, kperm = jax.random.split(key)
+    perm = jax.random.permutation(kperm, n)
+    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    pending = pos < t  # first t of the permutation
+
+    Wn, A = _window_params(e_half, n, e_cap)
+    if window is not None:
+        Wn = int(window)
+    if active_cap is not None:
+        A = min(int(active_cap), e_half)
+
+    big = jnp.asarray(_INT_MAX, jnp.int32)
+    t1 = jnp.ones((1,), bool)
+    f1 = jnp.zeros((1,), bool)
+    zero_w = jnp.zeros((), wdtype)
+
+    # position-if-target: static per call. A LIVE edge's endpoint is a
+    # candidate iff tpos[endpoint] < wmark (eliminated vertices keep no
+    # live edges, so pending needn't be consulted during transitions).
+    tpos = jnp.where(pending, pos, big)
+    tpos_pad = jnp.concatenate([tpos, jnp.full((1,), big, jnp.int32)])
+
+    def cond(st):
+        return (st["removed"] < t) & jnp.logical_not(st["overflow"])
+
+    def body(st):
+        s, r, w = st["senders"], st["receivers"], st["weights"]
+        pending = st["pending"]
+        # adaptive advance: only open the next W positions once the spilled
+        # backlog (candidates blocked in earlier rounds) has drained below
+        # W/2 — otherwise the backlog snowballs and candidate-incident
+        # edges outgrow the prefix. A no-advance round cannot overflow: its
+        # candidates are a subset of the previous round's, whose incident
+        # edges (plus any emissions) already fit [0, A).
+        adv = jnp.where(st["ncand"] <= Wn // 2, Wn, 0)
+        wm = jnp.minimum(st["wmark"] + adv, jnp.asarray(n, jnp.int32))
+
+        # ---- transition: pack candidate-incident edges into [0, A) -------
+        live = s < n
+        ab = tpos_pad[jnp.concatenate([s, r])]
+        act = live & ((ab[:e_half] < wm) | (ab[e_half:] < wm))
+        n_act = jnp.sum(act.astype(jnp.int32))
+        overflow = st["overflow"] | (n_act > A)
+        akey = jnp.where(act, 0, jnp.where(live, 1, 2)).astype(jnp.int32)
+        if packed:
+            kap = s * B + r
+            _, kap, w = jax.lax.sort((akey, kap, w), num_keys=1)
+            s = kap // B
+            r = kap - s * B
+        else:
+            _, s, r, w = jax.lax.sort((akey, s, r, w), num_keys=1)
+        sA, rA, wA = s[:A], r[:A], w[:A]
+
+        # ---- one round on the prefix -------------------------------------
+        rkey = jax.random.fold_in(st["key"], st["rnd"])
+        cand = pending & (pos < wm)
+        liveA = sA < n
+        live2 = jnp.concatenate([liveA, liveA])
+        srA = jnp.concatenate([sA, rA])
+        rsA = jnp.concatenate([rA, sA])
+
+        # packed Luby sub-rounds, prio = pos (sequential order); exact for
+        # candidates because every candidate-candidate edge is in [0, A)
+        sel = jnp.zeros((n,), bool)
+        candr = cand
+        for _ in range(max(1, subiters)):
+            pack = jnp.where(sel, -1, jnp.where(candr, pos, big))
+            pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
+            nbr2 = jnp.where(live2, pack_pad[rsA], big)
+            nmin = jnp.full((n + 1,), big, jnp.int32).at[srA].min(nbr2)[:n]
+            snew = candr & (pos < nmin) & (nmin >= 0)
+            sel = sel | snew
+            candr = candr & jnp.logical_not(snew) & (nmin >= 0)
+        elim = sel
+        b_count = jnp.sum(elim.astype(jnp.int32))
+        elim_pad = jnp.concatenate([elim, f1])
+        e2 = elim_pad[srA] & live2
+        es = e2[:A]
+        er = e2[A:]
+
+        # ---- rho pool sort over the prefix (e_t == A: no tail) -----------
+        if packed:
+            rho = jnp.where(es, sA * B + rA,
+                            jnp.where(er, rA * B + sA, big))
+            kap_p = sA * B + rA
+            rho, kap_p, w_p = jax.lax.sort((rho, kap_p, wA), num_keys=1)
+            touched = rho < big
+            owner = jnp.where(touched, rho // B, n)
+            other = jnp.where(touched, rho - owner * B, n)
+            ks = kap_p // B
+            kr = kap_p - ks * B
+            same = rho[1:] == rho[:-1]
+        else:
+            ow_a = jnp.where(es, sA, jnp.where(er, rA, big))
+            ot_a = jnp.where(es, rA, jnp.where(er, sA, big))
+            ow_a, ot_a, ks, kr, w_p = jax.lax.sort(
+                (ow_a, ot_a, sA, rA, wA), num_keys=2)
+            touched = ow_a < big
+            owner = jnp.where(touched, ow_a, n)
+            other = jnp.where(touched, ot_a, n)
+            same = ((owner[1:] == owner[:-1])
+                    & (other[1:] == other[:-1])) & touched[1:]
+
+        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
+        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
+        run_sum = _segmented_cumsum(w_p, head_run)
+        v = jnp.where(is_tail, run_sum, zero_w)
+
+        if o_n in ("asc", "desc"):
+            pad_mask = touched & jnp.logical_not(is_tail)
+            ks = jnp.where(pad_mask, n, ks)
+            kr = jnp.where(pad_mask, n, kr)
+            w_p = jnp.where(pad_mask, zero_w, w_p)
+            own_t = jnp.where(is_tail, owner, big)
+            o_key = v.astype(jnp.float32)
+            o_key = jnp.where(is_tail,
+                              o_key if o_n == "asc" else -o_key,
+                              jnp.asarray(jnp.inf, jnp.float32))
+            own_t, _, other, v, ks, kr, w_p = jax.lax.sort(
+                (own_t, o_key, other, v, ks, kr, w_p), num_keys=2)
+            owner = jnp.where(own_t < big, own_t, n)
+            touched = own_t < big
+            is_tail = touched
+
+        hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
+        cum = _segmented_cumsum(v, hs)
+        csum = _segmented_maxscan_rev(cum, hs)
+        suffix = csum - cum
+
+        if sampler == "race":
+            eu = jnp.maximum(
+                jax.random.uniform(rkey, (A,), dtype=jnp.float32),
+                jnp.asarray(1e-12, jnp.float32))
+            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
+                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
+                                                           jnp.float32))
+            _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
+            partner = jnp.concatenate([race_o[1:],
+                                       jnp.full((1,), n, jnp.int32)])
+            emit = is_tail & (suffix > 0)
+            csafe = jnp.where(csum > 0, csum, 1.0)
+            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+        else:
+            u = jax.random.uniform(rkey, (A,),
+                                   dtype=jnp.float32).astype(wdtype)
+            rv = cum + u * suffix
+            rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
+            emit = is_tail & (suffix > 0)
+            q = _last_le_lookup(
+                (owner, cum),
+                (jnp.where(emit, owner, n + 1),
+                 jnp.where(emit, rv, zero_w))) + 1
+            q = jnp.clip(q, 0, A - 1)
+            partner = other[q]
+            csafe = jnp.where(csum > 0, csum, 1.0)
+            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+
+        can_s = jnp.minimum(other, partner)
+        can_r = jnp.maximum(other, partner)
+        s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
+        r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
+        w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
+
+        pending_next = pending & jnp.logical_not(elim)
+        ncand = jnp.sum((pending_next & (pos < wm)).astype(jnp.int32))
+        return dict(
+            senders=jnp.concatenate([s_new, s[A:]]),
+            receivers=jnp.concatenate([r_new, r[A:]]),
+            weights=jnp.concatenate([w_new, w[A:]]),
+            pending=pending_next,
+            removed=st["removed"] + b_count,
+            wmark=wm,
+            ncand=ncand,
+            key=st["key"],
+            rnd=st["rnd"] + 1,
+            overflow=overflow,
+        )
+
+    st = dict(
+        senders=sh, receivers=rh, weights=wh,
+        pending=pending, removed=jnp.zeros((), jnp.int32),
+        wmark=jnp.zeros((), jnp.int32),
+        ncand=jnp.zeros((), jnp.int32),
+        key=key, rnd=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), bool),
+    )
+    out = jax.lax.while_loop(cond, body, st)
+    s_full, r_full, w_full = (out["senders"], out["receivers"],
+                              out["weights"])
+
+    pad = max(0, e_cap - 2 * e_half)
+    pad_s = jnp.full((pad,), n, jnp.int32)
+    pad_w = jnp.zeros((pad,), wdtype)
+    s_dir = jnp.concatenate([s_full, r_full, pad_s])[:e_cap]
+    r_dir = jnp.concatenate([r_full, s_full, pad_s])[:e_cap]
+    w_dir = jnp.concatenate([w_full, w_full, pad_w])[:e_cap]
+    return (s_dir, r_dir, w_dir, out["removed"], out["rnd"],
+            out["overflow"])
+
+
 def _eliminate_impl_fast(
     senders, receivers, weights, key,
     t,  # traced: number of vertices to eliminate
@@ -640,13 +937,14 @@ def _eliminate_impl_fast(
 @functools.partial(
     jax.jit,
     static_argnames=("o_v", "o_n", "schedule", "b_cap", "d_cap", "sampler",
-                     "compact", "subiters"))
+                     "compact", "subiters", "window", "active_cap"))
 def eliminate(g: Graph, key: jax.Array, num_remove,
               o_v: str = "random", o_n: str = "random",
               schedule: str = "fast",
               b_cap: Optional[int] = None, d_cap: Optional[int] = None,
               sampler: str = "independent", compact: bool = True,
-              subiters: int = 3):
+              subiters: int = 3, window: Optional[int] = None,
+              active_cap: Optional[int] = None):
     """Jittable core: returns (schur_graph, removed_count, overflow_flag).
 
     `b_cap`/`d_cap` are accepted for backward compatibility and ignored.
@@ -673,10 +971,21 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     # (`while(it <= t && it < n)`, preconditioner.cc:723)
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), g.num_nodes - 1)
     n = g.num_nodes
-    s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
-        gg.senders, gg.receivers, gg.weights, key, t,
-        n=n, o_v=o_v, o_n=o_n, schedule=schedule, sampler=sampler,
-        compact=compact, subiters=subiters)
+    if o_v == "random" and compact:
+        # windowed schedule: every round's heavy ops run on a static
+        # active prefix instead of staged whole-pool passes. Degree and
+        # coarsen orderings need global (degree, pos) priorities each
+        # round, so they stay on the staged kernel; compact=False is the
+        # uncapped escalation path for both.
+        s, r, w, removed, _rounds, overflow = _eliminate_impl_windowed(
+            gg.senders, gg.receivers, gg.weights, key, t,
+            n=n, o_n=o_n, sampler=sampler, subiters=subiters,
+            window=window, active_cap=active_cap)
+    else:
+        s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
+            gg.senders, gg.receivers, gg.weights, key, t,
+            n=n, o_v=o_v, o_n=o_n, schedule=schedule, sampler=sampler,
+            compact=compact, subiters=subiters)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=g.num_nodes,
                 x=g.x, node_mask=g.node_mask)
     # the last write-back leaves uncoalesced emissions
