@@ -6,10 +6,14 @@ The multi-chip formulation of the elimination kernel (SURVEY.md §2.3
 Edges are partitioned by sender block (`parallel/partition.py`), so for any
 vertex i the whole column (i, *) is local to owner(i):
 
-* **Selection is replicated.** Degrees and neighbor-minima are complete for
-  owned nodes locally (one scatter-add / scatter-min over local edges) and
-  combined with `psum`/`pmin` into replicated n-vectors; every shard then
-  computes the same independent set (same PRNG key -> same permutation).
+* **Selection is replicated.** Degrees and neighbor-minima are EXACT for
+  owned nodes locally (one scatter-add / scatter-min over local edges,
+  since a node's whole column lives on its owner) and replicated with one
+  block `all_gather` (n/P elements sent per shard — not a full-n
+  psum/pmin); every shard then computes the same independent set (same
+  PRNG key -> same permutation). For o_v="random" the priority is the
+  permutation position itself (the reference's own order), which removes
+  the per-round degree pass and its collective.
 * **Elimination is shard-local.** Each shard groups its eliminated owned
   columns with one local sort and runs the same suffix-CDF star->clique
   sampler as the single-chip kernel (see `ops/rlap.py`).
@@ -79,18 +83,35 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
     else:
         pending = jnp.ones((n,), bool)
 
+    # selection state rides the block all_gather, whose outputs shard_map
+    # types as device-varying (they are value-identical across shards by
+    # construction); mark those carries varying up front so the while_loop
+    # carry types match, and reduce them back at exit
+    def vary(x):
+        return jax.lax.pcast(x, (axis,), to='varying')
+
     state = dict(
-        s=s, r=r, w=w, pending=pending,
-        removed=jnp.zeros((), jnp.int32),
-        npend=jnp.sum(pending.astype(jnp.int32)),
+        s=s, r=r, w=w, pending=vary(pending),
+        removed=vary(jnp.zeros((), jnp.int32)),
+        npend=vary(jnp.sum(pending.astype(jnp.int32))),
         rnd=jnp.zeros((), jnp.int32),
-        # device-varying from round 1 (per-shard routing overflow): mark it
-        # varying up front so the while_loop carry types match
-        overflow=jax.lax.pcast(jnp.zeros((), bool), (axis,), to='varying'),
+        overflow=vary(jnp.zeros((), bool)),
     )
 
     def cond(st):
         return (st["npend"] > 0) & (st["removed"] < t)
+
+    # sender-block partitioning makes every vertex's whole column local to
+    # its owner, so per-node reductions (degree, neighbor minima) are
+    # EXACT on the owner shard — they need only a block all_gather (n/P
+    # elements sent per shard) to replicate, not a full-n psum/pmin.
+    block_sz = -(-n // num_shards)
+    nblk = num_shards * block_sz
+    blk_lo = shard * block_sz
+
+    def gather_owned(part):
+        own = jax.lax.dynamic_slice(part, (blk_lo,), (block_sz,))
+        return jax.lax.all_gather(own, axis, tiled=True)[:n]
 
     def body(st):
         s, r, w = st["s"], st["r"], st["w"]
@@ -99,15 +120,19 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         ukey = jax.random.fold_in(rkey, shard)
         live = s < n
 
-        # ---- replicated degree: local scatter-add + psum -----------------
-        deg_part = jnp.zeros((n + 1,), jnp.int32).at[s].add(
-            live.astype(jnp.int32))[:n]
-        deg = jax.lax.psum(deg_part, axis)
+        if o_v == "random":
+            # position priority IS the reference's o_v="random" order
+            # (preconditioner.cc:588-613); skips the degree pass + its
+            # collective entirely (see ops/rlap.py banded kernel notes)
+            prio = pos
+        else:
+            deg_part = jnp.zeros((nblk + 1,), jnp.int32).at[s].add(
+                live.astype(jnp.int32))[:nblk]
+            deg = gather_owned(deg_part)
+            dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
+            prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
 
-        dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
-        prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
-
-        # ---- packed Luby sub-rounds with pmin-combined neighbor minima ---
+        # ---- packed Luby sub-rounds; owner-exact minima, block-gathered --
         elim = jnp.zeros((n,), bool)
         cand = pending
         sel = jnp.zeros((n,), bool)
@@ -115,8 +140,9 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
             pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
             pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
             nbr = jnp.where(live, pack_pad[r], big)
-            nmin_part = jnp.full((n + 1,), big, jnp.int32).at[s].min(nbr)[:n]
-            nmin = jax.lax.pmin(nmin_part, axis)
+            nmin_part = jnp.full((nblk + 1,), big,
+                                 jnp.int32).at[s].min(nbr)[:nblk]
+            nmin = gather_owned(nmin_part)
             sel = cand & (prio < nmin) & (nmin >= 0)
             elim = elim | sel
             cand = cand & jnp.logical_not(sel) & (nmin >= 0)
@@ -195,11 +221,15 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
                          num_shards)
         ekap = jnp.where(e_s < n, e_s * B + e_r, n * B + n)
         # bucket by destination with one local sort, then place each record
-        # at (dest, rank-within-dest) in the exchange buffer. Emissions
-        # total <= cap/2 per shard and spread over P destinations, so a
-        # cap/4 per-destination buffer is ~4x headroom even with hub skew;
-        # overflow is flagged (and the caller can raise `slack`).
-        cap_route = max(min(cap // 4, cap), 128)
+        # at (dest, rank-within-dest) in the exchange buffer. Emission
+        # counts measured per round (tools/measure_dist_routing.py): a
+        # round's emissions are <= the touched-column tails (~cap/8 per
+        # shard at subiters=3) and spread over P destinations, so a
+        # cap/(2P) per-destination buffer keeps >= 4x headroom at P >= 4
+        # while shrinking the received block (and the survivor merge sort
+        # behind it) by 2P/4 vs the old cap/4 sizing; overflow is flagged
+        # (and the caller can raise `slack`).
+        cap_route = max(min(cap // max(4, 2 * num_shards), cap), 128)
         dsort, ksort, wsort = jax.lax.sort((dest, ekap, e_w), num_keys=1)
         didx = jnp.arange(2 * cap, dtype=jnp.int32)
         dstart = jnp.searchsorted(dsort, jnp.arange(num_shards + 1,
@@ -210,18 +240,21 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
                          dsort * cap_route + jnp.minimum(rank, cap_route - 1),
                          num_shards * cap_route)
         over_route = jnp.any((rank >= cap_route) & (dsort < num_shards))
+        # ONE all_to_all: key and weight ride together (weight bitcast to
+        # int32 lanes), halving the per-round collective barrier count
         buf_k = jnp.full((num_shards * cap_route + 1,), n * B + n,
                          jnp.int32).at[slot].set(ksort)[:-1]
         buf_w = jnp.zeros((num_shards * cap_route + 1,),
                           wdtype).at[slot].set(wsort)[:-1]
-        recv_k = jax.lax.all_to_all(buf_k.reshape(num_shards, cap_route),
-                                    axis, split_axis=0, concat_axis=0,
-                                    tiled=False)
-        recv_w = jax.lax.all_to_all(buf_w.reshape(num_shards, cap_route),
-                                    axis, split_axis=0, concat_axis=0,
-                                    tiled=False)
-        recv_k = recv_k.reshape(-1)
-        recv_w = recv_w.reshape(-1)
+        buf_wi = jax.lax.bitcast_convert_type(
+            buf_w.astype(jnp.float32), jnp.int32)
+        buf = jnp.stack([buf_k.reshape(num_shards, cap_route),
+                         buf_wi.reshape(num_shards, cap_route)], axis=1)
+        recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
+                                  tiled=False)
+        recv_k = recv[:, 0, :].reshape(-1)
+        recv_w = jax.lax.bitcast_convert_type(
+            recv[:, 1, :], jnp.float32).astype(wdtype).reshape(-1)
 
         # ---- merge survivors + received, keep the cap lowest keys --------
         surv_k = jnp.where(keep_s > 0, kap_s, n * B + n)
@@ -248,7 +281,8 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
 
     out = jax.lax.while_loop(cond, body, state)
     overflow = jax.lax.pmax(out["overflow"].astype(jnp.int32), axis) > 0
-    return (out["s"], out["r"], out["w"], out["removed"], out["rnd"],
+    removed = jax.lax.pmax(out["removed"], axis)
+    return (out["s"], out["r"], out["w"], removed, out["rnd"],
             overflow)
 
 

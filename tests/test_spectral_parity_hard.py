@@ -36,8 +36,9 @@ def _dense_stats(d):
     return np.array([sv, (d > 0).sum(), d.sum()])
 
 
-def _kernel_stats(g, t, seed):
-    out = approximate_cholesky(g, jax.random.PRNGKey(seed), t)
+def _kernel_stats(g, t, seed, o_v="random", o_n="random", **kw):
+    out = approximate_cholesky(g, jax.random.PRNGKey(seed), t, o_v=o_v,
+                               o_n=o_n, **kw)
     return _dense_stats(np.asarray(G.to_dense(out)))
 
 
@@ -48,10 +49,10 @@ def _edges_np(g):
             np.asarray(g.weights)[m])
 
 
-def _oracle_stats(g, t, seed):
+def _oracle_stats(g, t, seed, o_v="random", o_n="random"):
     ei, w = _edges_np(g)
     oi, ow = oracle_approximate_cholesky(ei, w, g.num_nodes, t,
-                                         o_v="random", o_n="random",
+                                         o_v=o_v, o_n=o_n,
                                          seed=seed)
     d = np.zeros((g.num_nodes, g.num_nodes))
     d[oi[0], oi[1]] = ow
@@ -83,6 +84,89 @@ def test_parity_n1000():
     os_ = np.mean([_oracle_stats(g, t, s) for s in range(5)], axis=0)
     for i, name in enumerate(("max_sv", "edges", "wsum")):
         assert abs(ks[i] - os_[i]) / os_[i] < 0.15, (name, ks[i], os_[i])
+
+
+MODES = [
+    # every non-default (o_v, o_n) pair the kernel dispatches differently
+    # (VERDICT r2 weak #5): degree + coarsen orderings ride the staged
+    # kernel's budget/trim paths, asc/desc ride the extra tail sort.
+    # coarsen forces o_n="random" (preconditioner.cc:830-833).
+    ("degree", "random"), ("degree", "asc"), ("degree", "desc"),
+    ("coarsen", "random"), ("random", "asc"), ("random", "desc"),
+]
+
+
+@pytest.mark.parametrize("o_v,o_n", MODES)
+def test_mode_parity_n512_20_seeds(o_v, o_n):
+    """20-seed, <=15%-band parity for the non-default orderings at n=512 —
+    a systematic per-mode weight bias (e.g. in the degree-budget trim or
+    the asc/desc tail sort) shifts max-SV/weight well past the band.
+    Matches `preconditioner.cc:295-307` (o_n ordering) and `:886-912`
+    (coarsen rewire)."""
+    g = barabasi_albert(512, 4, seed=9)
+    t = 256
+    ks = np.mean([_kernel_stats(g, t, s, o_v, o_n) for s in range(20)],
+                 axis=0)
+    os_ = np.mean([_oracle_stats(g, t, s, o_v, o_n) for s in range(20)],
+                  axis=0)
+    for i, name in enumerate(("max_sv", "edges", "wsum")):
+        assert abs(ks[i] - os_[i]) / os_[i] < 0.15, (
+            o_v, o_n, name, ks[i], os_[i])
+
+
+def test_banded_kernel_parity_20_seeds():
+    """The banded (windowed cold-storage) kernel, forced on at n=512 via
+    the `window` override, must match the oracle within the same 15%
+    bands as the staged kernel it replaces at production sizes."""
+    g = barabasi_albert(512, 4, seed=13)
+    t = 256
+    ks = np.mean([_kernel_stats(g, t, s, window=64) for s in range(20)],
+                 axis=0)
+    os_ = np.mean([_oracle_stats(g, t, s) for s in range(20)], axis=0)
+    for i, name in enumerate(("max_sv", "edges", "wsum")):
+        assert abs(ks[i] - os_[i]) / os_[i] < 0.15, (
+            name, ks[i], os_[i])
+
+
+def test_degree_trajectory_parity():
+    """Iterated-elimination trajectory parity for o_v="degree" (the
+    reference's protocol, `rlap_vc_spectral.py:61-116`, run for the
+    min-degree ordering): per-step max-SV and edge-count curves of the
+    kernel vs the oracle, mean over runs."""
+    n, runs, steps = 128, 6, 4
+    g = barabasi_albert(n, 3, seed=17)
+    per_step = int(0.4 / steps * n)
+
+    k_sv = np.zeros((runs, steps))
+    k_edges = np.zeros((runs, steps))
+    for run in range(runs):
+        cur = g
+        for step in range(steps):
+            cur = approximate_cholesky(
+                cur, jax.random.PRNGKey(1000 * run + step), per_step,
+                o_v="degree")
+            d = np.asarray(G.to_dense(cur))
+            st = _dense_stats(d)
+            k_sv[run, step], k_edges[run, step] = st[0], st[1]
+
+    o_sv = np.zeros((runs, steps))
+    o_edges = np.zeros((runs, steps))
+    for run in range(runs):
+        ei, w = _edges_np(g)
+        for step in range(steps):
+            ei, w = oracle_approximate_cholesky(
+                ei, w, n, per_step, o_v="degree", o_n="random",
+                seed=2000 * run + step)
+            d = np.zeros((n, n))
+            d[ei[0], ei[1]] = w
+            st = _dense_stats(d)
+            o_sv[run, step], o_edges[run, step] = st[0], st[1]
+
+    for s in range(steps):
+        ksv, osv = k_sv[:, s].mean(), o_sv[:, s].mean()
+        ke, oe = k_edges[:, s].mean(), o_edges[:, s].mean()
+        assert abs(ksv - osv) / osv < 0.15, (s, ksv, osv)
+        assert abs(ke - oe) / oe < 0.15, (s, ke, oe)
 
 
 def test_iterated_trajectory_parity():
