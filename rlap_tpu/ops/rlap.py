@@ -317,7 +317,11 @@ def _eliminate_impl_banded(
         raise ValueError(f"unknown sampler {sampler!r}")
 
     params = _band_params(e_cap // 2, n)
-    if window is not None:
+    if isinstance(window, tuple):
+        # explicit static caps (W, C, SP, DC) — cap-tuning escape hatch
+        W, C, SP, DC = (int(x) for x in window)
+        NW = -(-n // W)
+    elif window is not None:
         W = int(window)
         NW = -(-n // W)
         e_half = max(e_cap // 2, 1)

@@ -14,15 +14,30 @@ import os
 
 def setup_compilation_cache(path: str | None = None) -> str:
     """Point JAX's persistent compilation cache at a repo-local directory.
-    Call before the first jit compilation. Returns the cache dir."""
+    Call before the first jit compilation. Returns the cache dir.
+
+    Entries committed under `.jax_cache_seed/` (the production benchmark
+    shapes, ~1.7 min compile each over the axon tunnel) are hard-linked
+    into the working cache first, so a fresh clone's first `bench.py`
+    call deserializes instead of compiling."""
     import jax
 
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
     if path is None:
-        root = os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))))
         path = os.environ.get("RLAP_TPU_COMPILE_CACHE",
                               os.path.join(root, ".jax_cache"))
     os.makedirs(path, exist_ok=True)
+    seed = os.path.join(root, ".jax_cache_seed")
+    if os.path.isdir(seed) and os.path.abspath(seed) != os.path.abspath(path):
+        for name in os.listdir(seed):
+            dst = os.path.join(path, name)
+            if not os.path.exists(dst):
+                try:
+                    os.link(os.path.join(seed, name), dst)
+                except OSError:
+                    import shutil
+                    shutil.copy2(os.path.join(seed, name), dst)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
