@@ -41,4 +41,12 @@ def setup_compilation_cache(path: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # The default "all" embeds XLA-side cache file paths (derived from the
+    # cache dir) into CompileOptions, which leaks into the cache KEY — the
+    # same program hashed under two cache dirs (or a relocated checkout)
+    # gets different keys and always misses. Measured: serialized
+    # CompileOptions differ by exactly the dir path; with "none" they are
+    # byte-identical across dirs and processes, making the committed seed
+    # entries (.jax_cache_seed/) portable.
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
     return path
