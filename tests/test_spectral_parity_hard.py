@@ -128,6 +128,26 @@ def test_banded_kernel_parity_20_seeds():
             name, ks[i], os_[i])
 
 
+def test_banded_kernel_tuple_caps():
+    """The `(W, C, SP, DC)` explicit-cap form of `window` (the production
+    cap-tuning escape hatch) runs the same banded schedule: identical
+    semantics to the int form, no overflow at sane caps, and the removed
+    count is exact."""
+    import jax
+
+    from rlap_tpu.ops.rlap import eliminate
+
+    g = barabasi_albert(512, 4, seed=13)
+    out, removed, overflow = eliminate(
+        g, jax.random.PRNGKey(3), 256, window=(64, 1024, 1024, 1024))
+    assert int(removed) == 256
+    assert not bool(overflow)
+    m = np.asarray(out.edge_mask)
+    s = np.asarray(out.senders)[m]
+    assert (np.asarray(out.weights)[m] > 0).all()
+    assert s.size > 0
+
+
 def test_degree_trajectory_parity():
     """Iterated-elimination trajectory parity for o_v="degree" (the
     reference's protocol, `rlap_vc_spectral.py:61-116`, run for the
