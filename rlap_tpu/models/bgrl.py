@@ -181,13 +181,13 @@ class BGRLTrainer:
 
     def fit(self, graphs: Sequence[Graph], max_epochs: int = 100,
             tolerance: int = 20, verbose: bool = False) -> list:
-        from rlap_tpu.models.graphcl import GraphCLTrainer
+        from rlap_tpu.models.common import make_union_batches
 
         stopper = EarlyStopper(tolerance)
         losses = []
-        mb = GraphCLTrainer.make_batches
         for epoch in range(max_epochs):
-            batches = mb(self, graphs, shuffle_seed=epoch)
+            batches = make_union_batches(graphs, self.batch_size,
+                                         shuffle_seed=epoch)
             loss = self.train_epoch(batches)
             losses.append(loss)
             if verbose:

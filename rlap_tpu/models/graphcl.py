@@ -70,16 +70,10 @@ class GraphCLTrainer:
     def make_batches(self, graphs: Sequence[Graph], shuffle_seed: int = 0):
         """Host-side: pad graphs into fixed-capacity block-diagonal unions so
         every batch compiles to the same program."""
-        idx = np.random.default_rng(shuffle_seed).permutation(len(graphs))
-        batches = []
-        for start in range(0, len(idx), self.batch_size):
-            chunk = [graphs[int(i)] for i in idx[start:start + self.batch_size]]
-            ncap = ((sum(g.num_nodes for g in chunk) + 127) // 128) * 128
-            ecap = ((sum(int(g.num_edges) for g in chunk) + 255) // 256) * 256
-            batch, seg = G.block_diagonal(chunk, node_capacity=ncap,
-                                          edge_capacity=ecap)
-            batches.append((batch, seg, len(chunk)))
-        return batches
+        from rlap_tpu.models.common import make_union_batches
+
+        return make_union_batches(graphs, self.batch_size,
+                                  shuffle_seed=shuffle_seed)
 
     def _build_step(self):
         def step(params, batch_stats, opt_state, g1, g2, seg, num_graphs):

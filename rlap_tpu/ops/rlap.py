@@ -197,790 +197,6 @@ def _stage_sizes(e_cap: int, floor: int = 8192) -> Tuple[int, ...]:
     return tuple(sizes)
 
 
-def _window_params(e_half: int, n: int, e_cap: int) -> Tuple[int, int]:
-    """Static (W, A) schedule for `_eliminate_impl_windowed`.
-
-    A is the active-prefix cap every round op runs on; W is the number of
-    permutation positions opened per window. W is sized so the edges
-    incident to a window's candidates fit A with ~2.5x slack over the
-    *initial* average degree: by t = n/2 the average remaining degree
-    roughly doubles (eliminations conserve edge count to first order while
-    vertices drain), and spilled stragglers add ~15%. Small pools skip
-    windowing entirely (one window = the whole permutation)."""
-    if e_half <= 65536:
-        return n, e_half
-    A = min(e_half, max(65536, ((e_half // 2 + 1023) // 1024) * 1024))
-    d0 = max(2.0, e_cap / max(n, 1))  # initial undirected degree
-    W = max(1024, int(A / (2.5 * d0)))
-    return W, A
-
-
-def _band_params(e_half: int, n: int) -> Optional[Tuple[int, int, int, int, int]]:
-    """Static (W, NW, C, SP, DC) schedule for `_eliminate_impl_banded`.
-
-    W positions of the elimination permutation open per round; NW = number
-    of windows covering all n positions (windows past the removal count
-    never run). C (cold-band cap) is sized from the expected largest band:
-    a band holds the static edges whose earlier endpoint opens in that
-    window, E[band_0] = e_half * (1 - (1 - W/n)^2) ~ 2 W e_half / n, with
-    1.75x slack for permutation variance and degree skew (measured max/mean
-    ~1.02 over BA seeds; the slack covers heavier-tailed graphs — a band
-    larger than C raises `overflow` at setup and the caller escalates).
-    SP (spill cap) holds edges of Luby-blocked candidates between rounds;
-    DC (deferred-region cap) holds emissions routed to one future window.
-    Small pools skip banding (the staged kernel's whole-pool rounds win
-    below ~2^17 edges)."""
-    if e_half <= (1 << 17):
-        return None
-    W = max(1024, (n // 24 + 1023) // 1024 * 1024)
-    NW = -(-n // W)
-    band0 = 2.0 * W * e_half / max(n, 1)
-    C = max(8192, int(1.75 * band0 + 1023) // 1024 * 1024)
-    C = min(C, e_half)
-    # spill holds blocked candidates' full neighborhoods; at W/n ratios
-    # where candidates conflict often the backlog approaches a band's
-    # worth of edges, so give it a full C.
-    SP = C
-    DC = max(8192, C // 2)
-    return W, NW, C, SP, DC
-
-
-def _eliminate_impl_banded(
-    senders, receivers, weights, key,
-    t,  # traced: number of vertices to eliminate
-    *,
-    n: int, o_n: str = "random", subiters: int = 2,
-    sampler: str = "independent",
-    window: Optional[int] = None,
-):
-    """Banded rounds-of-independent-sets elimination (o_v="random").
-
-    The round-3 performance kernel. The staged kernel's cost is dominated
-    by per-element-priced gathers/scatters and sorts over the (shrinking
-    but large) whole active pool every round; the round-2 "windowed"
-    variant shrank the round body to a prefix but still paid one
-    full-pool packing sort + full-pool gather per round (~30+ ms at
-    BA(100k)) and could stall past the device watchdog when its spill
-    backlog snowballed. This kernel removes ALL per-round full-pool work:
-
-    * **Cold storage, sorted once.** Every static edge's *first window*
-      fw = min over endpoints of (position // W, counting only targets)
-      is known up front because the elimination permutation is drawn at
-      entry. One setup sort orders the pool by fw; band k then sits at
-      [off[k], off[k+1]) and is loaded with a single C-sized
-      dynamic_slice when window k opens. An edge is provably untouched
-      before its first window: only candidates are eliminated, and
-      neither endpoint is a candidate before window fw.
-    * **Deferred-emission regions.** A sampled clique edge whose nearest
-      pending-target endpoint opens in a future window w is routed (one
-      M-sized scatter) into a static region DEF[w*DC:(w+1)*DC] and loaded
-      together with cold band w. Emissions between non-targets (or
-      already-eliminated endpoints' partners) flush to the output
-      accumulator the round they are created. Every copy of a pair (u,v)
-      — static or emitted — shares the same fw, so all copies meet in
-      the same round's working buffer and the rho sort's duplicate merge
-      (the `compressColumn` analogue) still sees them together.
-    * **Working buffer.** Each round runs the staged kernel's round body
-      (packed Luby selection on (degree, pos) priorities, ONE rho sort,
-      segmented scans, suffix-CDF sampling with the merge-based rank
-      lookup, in-place write-back) on a static M = SP + C + DC buffer —
-      at BA(100k) M is ~1/4 of the pool, and NO op in the loop touches
-      the pool. Blocked candidates' edges stay in the buffer (the spill
-      prefix) and retry next round while the next window's band joins.
-    * **Classification + flush.** After write-back one M-sized sort
-      groups slots by destination (keep / DEF region w / output); ranks
-      from a segmented scan give unique scatter targets, and per-region
-      cursors advance by the flushed counts. Slots whose endpoints no
-      longer include a pending target are final output (they can never
-      be read again).
-
-    Exactness is the staged kernel's argument unchanged (module
-    docstring): the eliminated set is exactly the first t of the
-    permutation, each round eliminates an independent set (all
-    candidate-candidate edges are in the working buffer, so Luby
-    blocking is exact), and the per-column sampler is unbiased, so the
-    expected output is the true Schur complement of the set. Banding
-    only reorders rounds, which the tower property covers.
-
-    Static caps (C per band at setup, SP for spill, DC per DEF region,
-    and a round-count safety cap below the device watchdog) raise
-    `overflow` when exceeded; the caller escalates to the uncapped
-    staged path. Matches the reference semantics of
-    `preconditioner.cc:713-787` (loop), `:748-757` (suffix sampling),
-    `:761-772` (storage reuse).
-    """
-    e_cap = senders.shape[0]
-    wdtype = weights.dtype
-    B = n + 1
-    packed = n * (n + 2) < _INT_MAX
-    if sampler not in ("independent", "race"):
-        raise ValueError(f"unknown sampler {sampler!r}")
-
-    params = _band_params(e_cap // 2, n)
-    if isinstance(window, tuple):
-        # explicit static caps (W, C, SP, DC) — cap-tuning escape hatch
-        W, C, SP, DC = (int(x) for x in window)
-        NW = -(-n // W)
-    elif window is not None:
-        W = int(window)
-        NW = -(-n // W)
-        e_half = max(e_cap // 2, 1)
-        band0 = 2.0 * W * e_half / max(n, 1)
-        C = min(e_half, max(1024, int(1.75 * band0 + 1023) // 1024 * 1024))
-        SP = C
-        DC = max(1024, C // 2)
-    else:
-        assert params is not None
-        W, NW, C, SP, DC = params
-    M = SP + C + DC
-
-    # ---- canonical half-edge pool (same fold as the staged kernel) -------
-    e_half = max(e_cap // 2, 1)
-    fkey = jnp.where((senders < n) & (senders < receivers),
-                     jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
-    if packed:
-        fkap = senders * B + receivers
-        _, fkap, fw_ = jax.lax.sort((fkey, fkap, weights), num_keys=1)
-        sh = fkap[:e_half] // B
-        rh = fkap[:e_half] - sh * B
-    else:
-        _, fs, fr, fw_ = jax.lax.sort(
-            (fkey, senders, receivers, weights), num_keys=1)
-        sh, rh = fs[:e_half], fr[:e_half]
-    wh = fw_[:e_half]
-    good = sh < rh
-    sh = jnp.where(good, sh, n)
-    rh = jnp.where(good, rh, n)
-    wh = jnp.where(good, wh, jnp.zeros((), wdtype))
-
-    key, kperm = jax.random.split(key)
-    perm = jax.random.permutation(kperm, n)
-    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32))
-    pending = pos < t  # first t of the permutation
-
-    big = jnp.asarray(_INT_MAX, jnp.int32)
-    t1 = jnp.ones((1,), bool)
-    f1 = jnp.zeros((1,), bool)
-    zero_w = jnp.zeros((), wdtype)
-    i32 = jnp.int32
-
-    # window-of-target table: wtab[x] = pos[x] // W while x is a pending
-    # target, else NW ("never"); recomputed per round from pending.
-    def make_wtab(pend):
-        return jnp.concatenate([
-            jnp.where(pend, pos // W, NW).astype(i32),
-            jnp.full((1,), NW, i32)])
-
-    wtab = make_wtab(pending)
-
-    # ---- cold storage: sort the pool by first window ---------------------
-    live0 = sh < n
-    fw_edge = jnp.where(live0, jnp.minimum(wtab[sh], wtab[rh]), NW + 1)
-    if packed:
-        ckap = sh * B + rh
-        cold_fw, ckap, cold_w = jax.lax.sort((fw_edge, ckap, wh), num_keys=1)
-        cold_s = ckap // B
-        cold_r = ckap - cold_s * B
-    else:
-        cold_fw, cold_s, cold_r, cold_w = jax.lax.sort(
-            (fw_edge, sh, rh, wh), num_keys=1)
-    counts = jnp.zeros((NW + 2,), i32).at[cold_fw].add(1)
-    off = jnp.concatenate([jnp.zeros((1,), i32), jnp.cumsum(counts)])
-    band_max = jnp.max(counts[:NW])
-    overflow0 = band_max > C
-    # pad cold by C so a dynamic_slice at the last band never clamps/shifts
-    cpad_s = jnp.full((C,), n, i32)
-    cpad_w = jnp.zeros((C,), wdtype)
-    cold_s = jnp.concatenate([cold_s, cpad_s])
-    cold_r = jnp.concatenate([cold_r, cpad_s])
-    cold_w = jnp.concatenate([cold_w, cpad_w])
-    cold_fw = jnp.concatenate([cold_fw, jnp.full((C,), NW + 1, i32)])
-
-    # unified flush buffer: NW deferred regions of DC slots, then the
-    # output accumulator (cap e_half), then one trash slot — ONE scatter
-    # per payload array flushes deferred emissions AND final output
-    OUT0 = NW * DC
-    TRASH = OUT0 + e_half
-    # region base offsets indexed by class-1 (def regions, then out)
-    rbase = jnp.concatenate([
-        jnp.arange(NW, dtype=jnp.int32) * DC,
-        jnp.full((1,), OUT0, jnp.int32)])
-    st0 = dict(
-        wb_s=jnp.full((M,), n, i32), wb_r=jnp.full((M,), n, i32),
-        wb_w=jnp.zeros((M,), wdtype),
-        fb_s=jnp.full((TRASH + 1,), n, i32),
-        fb_r=jnp.full((TRASH + 1,), n, i32),
-        fb_w=jnp.zeros((TRASH + 1,), wdtype),
-        cur=jnp.zeros((NW + 1,), i32),  # [w]=def region w fill; [NW]=out
-        pending=pending, wtab=wtab,
-        removed=jnp.zeros((), i32),
-        k=jnp.zeros((), i32), rnd=jnp.zeros((), i32),
-        key=key, overflow=overflow0,
-        kc_max=jnp.zeros((), i32), dcur_max=jnp.zeros((), i32),
-    )
-
-    max_rounds = NW + 256
-
-    def cond(st):
-        return ((st["removed"] < t) & jnp.logical_not(st["overflow"])
-                & (st["rnd"] < max_rounds))
-
-    def body(st):
-        pending = st["pending"]
-        # adaptive advance: open window k only once the backlog of
-        # already-opened pending candidates has drained below W/4 —
-        # otherwise run a drain round on the working buffer alone. This
-        # bounds the spill (blocked candidates' edges) independently of
-        # the graph: candidates never exceed ~1.25 W. A drain round
-        # always eliminates at least the minimum-priority candidate, so
-        # the loop cannot stall (the round-count safety cap catches
-        # pathological inputs and escalates instead of faulting).
-        backlog = jnp.sum(
-            (pending & (pos < jnp.minimum(st["k"], NW) * W)).astype(i32))
-        advance = (backlog <= W // 4) & (st["k"] < NW)
-        k = st["k"]
-        kk = jnp.minimum(k, NW - 1)
-        in_range = advance
-
-        # ---- load cold band k and DEF region k into the working buffer ---
-        start = off[kk]
-        cnt_band = jnp.where(in_range, off[kk + 1] - off[kk], 0)
-        bs = jax.lax.dynamic_slice(cold_s, (start,), (C,))
-        br = jax.lax.dynamic_slice(cold_r, (start,), (C,))
-        bw = jax.lax.dynamic_slice(cold_w, (start,), (C,))
-        bmask = jnp.arange(C, dtype=i32) < cnt_band
-        bs = jnp.where(bmask, bs, n)
-        br = jnp.where(bmask, br, n)
-        bw = jnp.where(bmask, bw, zero_w)
-
-        dstart = kk * DC
-        cnt_def = jnp.where(in_range, st["cur"][kk], 0)
-        ds = jax.lax.dynamic_slice(st["fb_s"], (dstart,), (DC,))
-        dr = jax.lax.dynamic_slice(st["fb_r"], (dstart,), (DC,))
-        dw = jax.lax.dynamic_slice(st["fb_w"], (dstart,), (DC,))
-        dmask = jnp.arange(DC, dtype=i32) < cnt_def
-        ds = jnp.where(dmask, ds, n)
-        dr = jnp.where(dmask, dr, n)
-        dw = jnp.where(dmask, dw, zero_w)
-
-        s = jnp.concatenate([st["wb_s"][:SP], bs, ds])
-        r = jnp.concatenate([st["wb_r"][:SP], br, dr])
-        w = jnp.concatenate([st["wb_w"][:SP], bw, dw])
-
-        rkey = jax.random.fold_in(st["key"], st["rnd"])
-        live = s < n
-        k_next = k + advance.astype(i32)
-        wm = jnp.minimum(k_next * W, n)
-        wm = jnp.where(k_next >= NW, n, wm)
-        cand = pending & (pos < wm)
-
-        # ---- packed Luby selection on position priorities ----------------
-        # prio = pos is the reference's own o_v="random" elimination order
-        # (preconditioner.cc:588-613): hubs eliminate at their window
-        # rather than deferring to the endgame, which (a) keeps the spill
-        # backlog small and hub-free (a (deg, pos) priority starves hubs
-        # until only mutually-adjacent hubs remain, serializing the tail
-        # at ~1 elimination/round — measured kc 147k > SP at BA(100k)),
-        # (b) matches the reference's emission volume, and (c) saves the
-        # per-round degree scatter entirely.
-        sr = jnp.concatenate([s, r])
-        rs = jnp.concatenate([r, s])
-        live2 = jnp.concatenate([live, live])
-        prio = pos
-
-        sel = jnp.zeros((n,), bool)
-        candr = cand
-        for _ in range(max(1, subiters)):
-            pack = jnp.where(sel, -1, jnp.where(candr, prio, big))
-            pack_pad = jnp.concatenate([pack, jnp.full((1,), big, i32)])
-            nbr2 = jnp.where(live2, pack_pad[rs], big)
-            nmin = jnp.full((n + 1,), big, i32).at[sr].min(nbr2)[:n]
-            snew = candr & (prio < nmin) & (nmin >= 0)
-            sel = sel | snew
-            candr = candr & jnp.logical_not(snew) & (nmin >= 0)
-        elim = sel
-        b_count = jnp.sum(elim.astype(i32))
-        elim_pad = jnp.concatenate([elim, f1])
-        e2 = elim_pad[sr] & live2
-        es = e2[:M]
-        er = e2[M:]
-
-        # ---- rho sort over the working buffer ----------------------------
-        if packed:
-            rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
-            kap_p = s * B + r
-            rho, kap_p, w_p = jax.lax.sort((rho, kap_p, w), num_keys=1)
-            touched = rho < big
-            owner = jnp.where(touched, rho // B, n)
-            other = jnp.where(touched, rho - owner * B, n)
-            ks = kap_p // B
-            kr = kap_p - ks * B
-            same = rho[1:] == rho[:-1]
-        else:
-            ow_a = jnp.where(es, s, jnp.where(er, r, big))
-            ot_a = jnp.where(es, r, jnp.where(er, s, big))
-            ow_a, ot_a, ks, kr, w_p = jax.lax.sort(
-                (ow_a, ot_a, s, r, w), num_keys=2)
-            touched = ow_a < big
-            owner = jnp.where(touched, ow_a, n)
-            other = jnp.where(touched, ot_a, n)
-            same = ((owner[1:] == owner[:-1])
-                    & (other[1:] == other[:-1])) & touched[1:]
-
-        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
-        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
-        run_sum = _segmented_cumsum(w_p, head_run)
-        v = jnp.where(is_tail, run_sum, zero_w)
-
-        if o_n in ("asc", "desc"):
-            pad_mask = touched & jnp.logical_not(is_tail)
-            ks = jnp.where(pad_mask, n, ks)
-            kr = jnp.where(pad_mask, n, kr)
-            w_p = jnp.where(pad_mask, zero_w, w_p)
-            own_t = jnp.where(is_tail, owner, big)
-            o_key = v.astype(jnp.float32)
-            o_key = jnp.where(is_tail,
-                              o_key if o_n == "asc" else -o_key,
-                              jnp.asarray(jnp.inf, jnp.float32))
-            own_t, _, other, v, ks, kr, w_p = jax.lax.sort(
-                (own_t, o_key, other, v, ks, kr, w_p), num_keys=2)
-            owner = jnp.where(own_t < big, own_t, n)
-            touched = own_t < big
-            is_tail = touched
-
-        hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
-        cum = _segmented_cumsum(v, hs)
-        csum = _segmented_maxscan_rev(cum, hs)
-        suffix = csum - cum
-
-        if sampler == "race":
-            eu = jnp.maximum(
-                jax.random.uniform(rkey, (M,), dtype=jnp.float32),
-                jnp.asarray(1e-12, jnp.float32))
-            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
-                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
-                                                           jnp.float32))
-            _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
-            partner = jnp.concatenate([race_o[1:],
-                                       jnp.full((1,), n, i32)])
-            emit = is_tail & (suffix > 0)
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-        else:
-            u = jax.random.uniform(rkey, (M,),
-                                   dtype=jnp.float32).astype(wdtype)
-            rv = cum + u * suffix
-            rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
-            emit = is_tail & (suffix > 0)
-            q = _last_le_lookup(
-                (owner, cum),
-                (jnp.where(emit, owner, n + 1),
-                 jnp.where(emit, rv, zero_w))) + 1
-            q = jnp.clip(q, 0, M - 1)
-            partner = other[q]
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-
-        can_s = jnp.minimum(other, partner)
-        can_r = jnp.maximum(other, partner)
-        s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
-        r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
-        w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
-
-        # ---- classify every slot by destination and flush ----------------
-        pending_next = pending & jnp.logical_not(elim)
-        wtab_next = make_wtab(pending_next)
-        live_n = s_new < n
-        wE = jnp.minimum(wtab_next[s_new], wtab_next[r_new])
-        # class: 0 keep (nearest pending window already open), 1+w DEF
-        # region w, NW+1 output, NW+2 dead
-        cls = jnp.where(
-            live_n,
-            jnp.where(wE < k_next, 0,
-                      jnp.where(wE < NW, 1 + wE, NW + 1)),
-            NW + 2).astype(i32)
-        cls, s_new, r_new, w_new = jax.lax.sort(
-            (cls, s_new, r_new, w_new), num_keys=1)
-        iota_m = jnp.arange(M, dtype=i32)
-        chead = jnp.concatenate([t1, cls[1:] != cls[:-1]])
-        seg_start = _segmented_headscan(iota_m, chead)
-        rank = iota_m - seg_start
-        kc = jnp.sum((cls == 0).astype(i32))
-        ccounts = jnp.zeros((NW + 3,), i32).at[cls].add(1)
-
-        # ONE scatter per payload flushes every non-keep slot into its
-        # region of the unified buffer (deferred regions + output block)
-        is_fl = (cls >= 1) & (cls <= NW + 1)
-        reg = jnp.where(is_fl, cls - 1, 0)
-        fdest = jnp.where(is_fl,
-                          rbase[reg] + st["cur"][reg] + rank, TRASH)
-        fb_s = st["fb_s"].at[fdest].set(jnp.where(is_fl, s_new, n))
-        fb_r = st["fb_r"].at[fdest].set(jnp.where(is_fl, r_new, n))
-        fb_w = st["fb_w"].at[fdest].set(jnp.where(is_fl, w_new, zero_w))
-        cur = st["cur"] + ccounts[1:NW + 2]
-
-        keep_mask = iota_m < kc
-        wb_s = jnp.where(keep_mask, s_new, n)
-        wb_r = jnp.where(keep_mask, r_new, n)
-        wb_w = jnp.where(keep_mask, w_new, zero_w)
-
-        overflow = (st["overflow"] | (kc > SP)
-                    | jnp.any(cur[:NW] > DC) | (cur[NW] > e_half))
-        return dict(
-            wb_s=wb_s, wb_r=wb_r, wb_w=wb_w,
-            fb_s=fb_s, fb_r=fb_r, fb_w=fb_w, cur=cur,
-            pending=pending_next, wtab=wtab_next,
-            removed=st["removed"] + b_count,
-            k=k_next, rnd=st["rnd"] + 1,
-            key=st["key"], overflow=overflow,
-            kc_max=jnp.maximum(st["kc_max"], kc),
-            dcur_max=jnp.maximum(st["dcur_max"], jnp.max(cur[:NW])),
-        )
-
-    out = jax.lax.while_loop(cond, body, st0)
-    overflow = out["overflow"] | ((out["rnd"] >= max_rounds)
-                                  & (out["removed"] < t))
-
-    # ---- assemble the surviving pool -------------------------------------
-    # out accumulator + unflushed DEF regions (>= k, never loaded) + cold
-    # bands never loaded (fw >= k) + working-buffer leftovers. Total live
-    # copies can never exceed e_half (eliminating a degree-d vertex
-    # deletes d copies and emits d-1, so the live count only shrinks),
-    # so one pack sort and an e_half prefix always suffice.
-    k_out = out["k"]
-    iota_d = jnp.arange(OUT0, dtype=i32)
-    dreg = iota_d // DC
-    dlive = ((dreg >= k_out) & (iota_d - dreg * DC < out["cur"][dreg])
-             & (out["fb_s"][:OUT0] < n))
-    cold_live = ((cold_fw[:e_half] >= jnp.minimum(k_out, NW))
-                 & (cold_fw[:e_half] <= NW))
-
-    all_s = jnp.concatenate([
-        out["fb_s"][OUT0:TRASH], jnp.where(dlive, out["fb_s"][:OUT0], n),
-        jnp.where(cold_live, cold_s[:e_half], n), out["wb_s"]])
-    all_r = jnp.concatenate([
-        out["fb_r"][OUT0:TRASH], jnp.where(dlive, out["fb_r"][:OUT0], n),
-        jnp.where(cold_live, cold_r[:e_half], n), out["wb_r"]])
-    all_w = jnp.concatenate([
-        out["fb_w"][OUT0:TRASH], jnp.where(dlive, out["fb_w"][:OUT0],
-                                           zero_w),
-        jnp.where(cold_live, cold_w[:e_half], zero_w), out["wb_w"]])
-    pkey = jnp.where(all_s < n, 0, 1).astype(i32)
-    if packed:
-        pkap = all_s * B + all_r
-        _, pkap, all_w = jax.lax.sort((pkey, pkap, all_w), num_keys=1)
-        s_full = (pkap // B)[:e_half]
-        r_full = (pkap - (pkap // B) * B)[:e_half]
-    else:
-        _, all_s, all_r, all_w = jax.lax.sort(
-            (pkey, all_s, all_r, all_w), num_keys=1)
-        s_full = all_s[:e_half]
-        r_full = all_r[:e_half]
-    w_full = all_w[:e_half]
-    # live copies beyond e_half would mean the live-count invariant broke;
-    # flag it rather than silently dropping edges (the tail is all-padding
-    # when the invariant holds).
-    if packed:
-        first_dropped_live = (pkap[e_half] // B) < n
-    else:
-        first_dropped_live = all_s[e_half] < n
-    overflow = overflow | first_dropped_live
-    livem = s_full < n
-    s_full = jnp.where(livem, s_full, n)
-    r_full = jnp.where(livem, r_full, n)
-    w_full = jnp.where(livem, w_full, zero_w)
-
-    pad = max(0, e_cap - 2 * e_half)
-    pad_s = jnp.full((pad,), n, i32)
-    pad_w = jnp.zeros((pad,), wdtype)
-    s_dir = jnp.concatenate([s_full, r_full, pad_s])[:e_cap]
-    r_dir = jnp.concatenate([r_full, s_full, pad_s])[:e_cap]
-    w_dir = jnp.concatenate([w_full, w_full, pad_w])[:e_cap]
-    return (s_dir, r_dir, w_dir, out["removed"], out["rnd"], overflow,
-            dict(kc_max=out["kc_max"], dcur_max=out["dcur_max"],
-                 ocur=out["cur"][NW]))
-
-
-def _eliminate_impl_windowed(
-    senders, receivers, weights, key,
-    t,  # traced: number of vertices to eliminate
-    *,
-    n: int, o_n: str = "random", subiters: int = 3,
-    sampler: str = "independent",
-    window: Optional[int] = None, active_cap: Optional[int] = None,
-):
-    """Windowed rounds-of-independent-sets elimination (o_v="random").
-
-    The round-3 performance design. The staged kernel
-    (`_eliminate_impl_fast`) keeps ALL `t` targets pending from the first
-    round, so its early rounds pay per-element-priced gathers/scatters over
-    nearly the whole edge pool. This variant opens the elimination
-    permutation in *windows* of W positions: each outer step
-    (1) advances `wmark` by W, making candidates = still-pending targets
-        with `pos < wmark`;
-    (2) packs every edge with a candidate endpoint into a static prefix
-        [0, A) with ONE full-pool sort (the *transition*) — a live edge's
-        endpoint is a candidate iff its position-if-target value, a static
-        per-vertex table, is below `wmark`, because eliminated vertices
-        have no live edges; and
-    (3) runs ONE round on that prefix: packed Luby selection with
-        prio = pos (the sequential order itself — no degree pass, no
-        budget trim), the rho pool sort, segmented scans, suffix-CDF
-        sampling, and in-place write-back, all A-sized.
-
-    Candidates blocked by a selected neighbor *spill*: they stay pending
-    and ride into the next window's candidate set (their edges are
-    re-packed by the next transition), so no mop-up rounds run at window
-    granularity; once `wmark` covers the whole permutation the remaining
-    stragglers drain in a couple of final rounds.
-
-    Exactness is the staged kernel's argument unchanged: the eliminated
-    set is exactly the first t of the permutation, every round eliminates
-    an independent set, and the per-column sampler is unbiased, so the
-    expected output is the true Schur complement of that set (see module
-    docstring). Windowing only reorders *rounds*, which the tower property
-    already covers.
-
-    Why the prefix is safe: all edges incident to a candidate are packed
-    into [0, A) by the transition (or `overflow` is raised and the caller
-    escalates to the uncapped staged path). A round only touches edges
-    incident to its eliminated set (a subset of candidates), and each
-    emission overwrites a touched slot, so no round ever reads or writes
-    beyond the prefix; edges beyond A have no candidate endpoint and are
-    untouched by construction.
-
-    Matches the same reference semantics as `_eliminate_impl_fast`
-    (`preconditioner.cc:713-787` loop, `:748-757` suffix sampling,
-    `:761-772` storage reuse).
-    """
-    e_cap = senders.shape[0]
-    wdtype = weights.dtype
-    B = n + 1
-    packed = n * (n + 2) < _INT_MAX
-    if sampler not in ("independent", "race"):
-        raise ValueError(f"unknown sampler {sampler!r}")
-
-    # ---- canonical half-edge pool (same fold as the staged kernel) -------
-    e_half = max(e_cap // 2, 1)
-    fkey = jnp.where((senders < n) & (senders < receivers),
-                     jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
-    if packed:
-        fkap = senders * B + receivers
-        _, fkap, fw = jax.lax.sort((fkey, fkap, weights), num_keys=1)
-        sh = fkap[:e_half] // B
-        rh = fkap[:e_half] - sh * B
-    else:
-        _, fs, fr, fw = jax.lax.sort(
-            (fkey, senders, receivers, weights), num_keys=1)
-        sh, rh = fs[:e_half], fr[:e_half]
-    wh = fw[:e_half]
-    good = sh < rh
-    sh = jnp.where(good, sh, n)
-    rh = jnp.where(good, rh, n)
-    wh = jnp.where(good, wh, jnp.zeros((), wdtype))
-
-    key, kperm = jax.random.split(key)
-    perm = jax.random.permutation(kperm, n)
-    pos = jnp.zeros((n,), jnp.int32).at[perm].set(
-        jnp.arange(n, dtype=jnp.int32))
-    pending = pos < t  # first t of the permutation
-
-    Wn, A = _window_params(e_half, n, e_cap)
-    if window is not None:
-        Wn = int(window)
-    if active_cap is not None:
-        A = min(int(active_cap), e_half)
-
-    big = jnp.asarray(_INT_MAX, jnp.int32)
-    t1 = jnp.ones((1,), bool)
-    f1 = jnp.zeros((1,), bool)
-    zero_w = jnp.zeros((), wdtype)
-
-    # position-if-target: static per call. A LIVE edge's endpoint is a
-    # candidate iff tpos[endpoint] < wmark (eliminated vertices keep no
-    # live edges, so pending needn't be consulted during transitions).
-    tpos = jnp.where(pending, pos, big)
-    tpos_pad = jnp.concatenate([tpos, jnp.full((1,), big, jnp.int32)])
-
-    def cond(st):
-        return (st["removed"] < t) & jnp.logical_not(st["overflow"])
-
-    def body(st):
-        s, r, w = st["senders"], st["receivers"], st["weights"]
-        pending = st["pending"]
-        # adaptive advance: only open the next W positions once the spilled
-        # backlog (candidates blocked in earlier rounds) has drained below
-        # W/2 — otherwise the backlog snowballs and candidate-incident
-        # edges outgrow the prefix. A no-advance round cannot overflow: its
-        # candidates are a subset of the previous round's, whose incident
-        # edges (plus any emissions) already fit [0, A).
-        adv = jnp.where(st["ncand"] <= Wn // 2, Wn, 0)
-        wm = jnp.minimum(st["wmark"] + adv, jnp.asarray(n, jnp.int32))
-
-        # ---- transition: pack candidate-incident edges into [0, A) -------
-        live = s < n
-        ab = tpos_pad[jnp.concatenate([s, r])]
-        act = live & ((ab[:e_half] < wm) | (ab[e_half:] < wm))
-        n_act = jnp.sum(act.astype(jnp.int32))
-        overflow = st["overflow"] | (n_act > A)
-        akey = jnp.where(act, 0, jnp.where(live, 1, 2)).astype(jnp.int32)
-        if packed:
-            kap = s * B + r
-            _, kap, w = jax.lax.sort((akey, kap, w), num_keys=1)
-            s = kap // B
-            r = kap - s * B
-        else:
-            _, s, r, w = jax.lax.sort((akey, s, r, w), num_keys=1)
-        sA, rA, wA = s[:A], r[:A], w[:A]
-
-        # ---- one round on the prefix -------------------------------------
-        rkey = jax.random.fold_in(st["key"], st["rnd"])
-        cand = pending & (pos < wm)
-        liveA = sA < n
-        live2 = jnp.concatenate([liveA, liveA])
-        srA = jnp.concatenate([sA, rA])
-        rsA = jnp.concatenate([rA, sA])
-
-        # packed Luby sub-rounds, prio = pos (sequential order); exact for
-        # candidates because every candidate-candidate edge is in [0, A)
-        sel = jnp.zeros((n,), bool)
-        candr = cand
-        for _ in range(max(1, subiters)):
-            pack = jnp.where(sel, -1, jnp.where(candr, pos, big))
-            pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
-            nbr2 = jnp.where(live2, pack_pad[rsA], big)
-            nmin = jnp.full((n + 1,), big, jnp.int32).at[srA].min(nbr2)[:n]
-            snew = candr & (pos < nmin) & (nmin >= 0)
-            sel = sel | snew
-            candr = candr & jnp.logical_not(snew) & (nmin >= 0)
-        elim = sel
-        b_count = jnp.sum(elim.astype(jnp.int32))
-        elim_pad = jnp.concatenate([elim, f1])
-        e2 = elim_pad[srA] & live2
-        es = e2[:A]
-        er = e2[A:]
-
-        # ---- rho pool sort over the prefix (e_t == A: no tail) -----------
-        if packed:
-            rho = jnp.where(es, sA * B + rA,
-                            jnp.where(er, rA * B + sA, big))
-            kap_p = sA * B + rA
-            rho, kap_p, w_p = jax.lax.sort((rho, kap_p, wA), num_keys=1)
-            touched = rho < big
-            owner = jnp.where(touched, rho // B, n)
-            other = jnp.where(touched, rho - owner * B, n)
-            ks = kap_p // B
-            kr = kap_p - ks * B
-            same = rho[1:] == rho[:-1]
-        else:
-            ow_a = jnp.where(es, sA, jnp.where(er, rA, big))
-            ot_a = jnp.where(es, rA, jnp.where(er, sA, big))
-            ow_a, ot_a, ks, kr, w_p = jax.lax.sort(
-                (ow_a, ot_a, sA, rA, wA), num_keys=2)
-            touched = ow_a < big
-            owner = jnp.where(touched, ow_a, n)
-            other = jnp.where(touched, ot_a, n)
-            same = ((owner[1:] == owner[:-1])
-                    & (other[1:] == other[:-1])) & touched[1:]
-
-        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
-        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
-        run_sum = _segmented_cumsum(w_p, head_run)
-        v = jnp.where(is_tail, run_sum, zero_w)
-
-        if o_n in ("asc", "desc"):
-            pad_mask = touched & jnp.logical_not(is_tail)
-            ks = jnp.where(pad_mask, n, ks)
-            kr = jnp.where(pad_mask, n, kr)
-            w_p = jnp.where(pad_mask, zero_w, w_p)
-            own_t = jnp.where(is_tail, owner, big)
-            o_key = v.astype(jnp.float32)
-            o_key = jnp.where(is_tail,
-                              o_key if o_n == "asc" else -o_key,
-                              jnp.asarray(jnp.inf, jnp.float32))
-            own_t, _, other, v, ks, kr, w_p = jax.lax.sort(
-                (own_t, o_key, other, v, ks, kr, w_p), num_keys=2)
-            owner = jnp.where(own_t < big, own_t, n)
-            touched = own_t < big
-            is_tail = touched
-
-        hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
-        cum = _segmented_cumsum(v, hs)
-        csum = _segmented_maxscan_rev(cum, hs)
-        suffix = csum - cum
-
-        if sampler == "race":
-            eu = jnp.maximum(
-                jax.random.uniform(rkey, (A,), dtype=jnp.float32),
-                jnp.asarray(1e-12, jnp.float32))
-            race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
-                v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
-                                                           jnp.float32))
-            _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
-            partner = jnp.concatenate([race_o[1:],
-                                       jnp.full((1,), n, jnp.int32)])
-            emit = is_tail & (suffix > 0)
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-        else:
-            u = jax.random.uniform(rkey, (A,),
-                                   dtype=jnp.float32).astype(wdtype)
-            rv = cum + u * suffix
-            rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
-            emit = is_tail & (suffix > 0)
-            q = _last_le_lookup(
-                (owner, cum),
-                (jnp.where(emit, owner, n + 1),
-                 jnp.where(emit, rv, zero_w))) + 1
-            q = jnp.clip(q, 0, A - 1)
-            partner = other[q]
-            csafe = jnp.where(csum > 0, csum, 1.0)
-            wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-
-        can_s = jnp.minimum(other, partner)
-        can_r = jnp.maximum(other, partner)
-        s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
-        r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
-        w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
-
-        pending_next = pending & jnp.logical_not(elim)
-        ncand = jnp.sum((pending_next & (pos < wm)).astype(jnp.int32))
-        return dict(
-            senders=jnp.concatenate([s_new, s[A:]]),
-            receivers=jnp.concatenate([r_new, r[A:]]),
-            weights=jnp.concatenate([w_new, w[A:]]),
-            pending=pending_next,
-            removed=st["removed"] + b_count,
-            wmark=wm,
-            ncand=ncand,
-            key=st["key"],
-            rnd=st["rnd"] + 1,
-            overflow=overflow,
-        )
-
-    st = dict(
-        senders=sh, receivers=rh, weights=wh,
-        pending=pending, removed=jnp.zeros((), jnp.int32),
-        wmark=jnp.zeros((), jnp.int32),
-        ncand=jnp.zeros((), jnp.int32),
-        key=key, rnd=jnp.zeros((), jnp.int32),
-        overflow=jnp.zeros((), bool),
-    )
-    out = jax.lax.while_loop(cond, body, st)
-    s_full, r_full, w_full = (out["senders"], out["receivers"],
-                              out["weights"])
-
-    pad = max(0, e_cap - 2 * e_half)
-    pad_s = jnp.full((pad,), n, jnp.int32)
-    pad_w = jnp.zeros((pad,), wdtype)
-    s_dir = jnp.concatenate([s_full, r_full, pad_s])[:e_cap]
-    r_dir = jnp.concatenate([r_full, s_full, pad_s])[:e_cap]
-    w_dir = jnp.concatenate([w_full, w_full, pad_w])[:e_cap]
-    return (s_dir, r_dir, w_dir, out["removed"], out["rnd"],
-            out["overflow"])
-
-
 def _eliminate_impl_fast(
     senders, receivers, weights, key,
     t,  # traced: number of vertices to eliminate
@@ -1424,14 +640,13 @@ def _eliminate_impl_fast(
 @functools.partial(
     jax.jit,
     static_argnames=("o_v", "o_n", "schedule", "b_cap", "d_cap", "sampler",
-                     "compact", "subiters", "window", "active_cap"))
+                     "compact", "subiters"))
 def eliminate(g: Graph, key: jax.Array, num_remove,
               o_v: str = "random", o_n: str = "random",
               schedule: str = "fast",
               b_cap: Optional[int] = None, d_cap: Optional[int] = None,
               sampler: str = "independent", compact: bool = True,
-              subiters: int = 3, window: Optional[int] = None,
-              active_cap: Optional[int] = None):
+              subiters: int = 3):
     """Jittable core: returns (schur_graph, removed_count, overflow_flag).
 
     `b_cap`/`d_cap` are accepted for backward compatibility and ignored.
@@ -1458,26 +673,10 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     # (`while(it <= t && it < n)`, preconditioner.cc:723)
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), g.num_nodes - 1)
     n = g.num_nodes
-    # banded is opt-in (explicit `window`) until its static caps are tuned
-    # at production scale; the staged kernel remains the default
-    use_banded = o_v == "random" and compact and window is not None
-    if use_banded:
-        # banded schedule: the pool is pre-sorted by first-window once,
-        # and every round's work runs on a small static working buffer —
-        # no per-round full-pool passes at all. Degree and coarsen
-        # orderings need global (degree, pos) priorities each round, so
-        # they stay on the staged kernel; compact=False is the uncapped
-        # escalation path for all modes. Small graphs also use the staged
-        # kernel (its whole-pool rounds win below ~2^17 pool slots).
-        s, r, w, removed, _rounds, overflow, _diag = _eliminate_impl_banded(
-            gg.senders, gg.receivers, gg.weights, key, t,
-            n=n, o_n=o_n, sampler=sampler, subiters=subiters,
-            window=window)
-    else:
-        s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
-            gg.senders, gg.receivers, gg.weights, key, t,
-            n=n, o_v=o_v, o_n=o_n, schedule=schedule, sampler=sampler,
-            compact=compact, subiters=subiters)
+    s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
+        gg.senders, gg.receivers, gg.weights, key, t,
+        n=n, o_v=o_v, o_n=o_n, schedule=schedule, sampler=sampler,
+        compact=compact, subiters=subiters)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=g.num_nodes,
                 x=g.x, node_mask=g.node_mask)
     # the last write-back leaves uncoalesced emissions
@@ -1495,7 +694,6 @@ def approximate_cholesky(
     b_cap: Optional[int] = None,
     max_escalations: int = 1,
     schedule: str = "fast",
-    window: Optional[int] = None,
 ) -> Graph:
     """Compute a randomized Schur complement of `g` after removing
     `num_remove` vertices — API parity with `rlap.ops.approximate_cholesky`
@@ -1515,8 +713,7 @@ def approximate_cholesky(
     if num_remove <= 0:
         return G.coalesce(G.drop_zero_weight(G.remove_self_loops(g)))
     out, _removed, overflow = eliminate(
-        g, key, num_remove, o_v=o_v, o_n=o_n, schedule=schedule,
-        window=window)
+        g, key, num_remove, o_v=o_v, o_n=o_n, schedule=schedule)
     if max_escalations > 0 and bool(overflow):
         out, _removed, _ = eliminate(
             g, key, num_remove, o_v=o_v, o_n=o_n, schedule=schedule,

@@ -30,14 +30,18 @@ def setup_compilation_cache(path: str | None = None) -> str:
     os.makedirs(path, exist_ok=True)
     seed = os.path.join(root, ".jax_cache_seed")
     if os.path.isdir(seed) and os.path.abspath(seed) != os.path.abspath(path):
+        import shutil
         for name in os.listdir(seed):
+            src = os.path.join(seed, name)
             dst = os.path.join(path, name)
-            if not os.path.exists(dst):
+            # copy (not hard-link): the working cache may be rewritten in
+            # place by jax or truncated by tools, and a shared inode would
+            # silently mutate the committed seed entry
+            if os.path.isfile(src) and not os.path.exists(dst):
                 try:
-                    os.link(os.path.join(seed, name), dst)
+                    shutil.copy2(src, dst)
                 except OSError:
-                    import shutil
-                    shutil.copy2(os.path.join(seed, name), dst)
+                    pass
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -114,40 +114,6 @@ def test_mode_parity_n512_20_seeds(o_v, o_n):
             o_v, o_n, name, ks[i], os_[i])
 
 
-def test_banded_kernel_parity_20_seeds():
-    """The banded (windowed cold-storage) kernel, forced on at n=512 via
-    the `window` override, must match the oracle within the same 15%
-    bands as the staged kernel it replaces at production sizes."""
-    g = barabasi_albert(512, 4, seed=13)
-    t = 256
-    ks = np.mean([_kernel_stats(g, t, s, window=64) for s in range(20)],
-                 axis=0)
-    os_ = np.mean([_oracle_stats(g, t, s) for s in range(20)], axis=0)
-    for i, name in enumerate(("max_sv", "edges", "wsum")):
-        assert abs(ks[i] - os_[i]) / os_[i] < 0.15, (
-            name, ks[i], os_[i])
-
-
-def test_banded_kernel_tuple_caps():
-    """The `(W, C, SP, DC)` explicit-cap form of `window` (the production
-    cap-tuning escape hatch) runs the same banded schedule: identical
-    semantics to the int form, no overflow at sane caps, and the removed
-    count is exact."""
-    import jax
-
-    from rlap_tpu.ops.rlap import eliminate
-
-    g = barabasi_albert(512, 4, seed=13)
-    out, removed, overflow = eliminate(
-        g, jax.random.PRNGKey(3), 256, window=(64, 1024, 1024, 1024))
-    assert int(removed) == 256
-    assert not bool(overflow)
-    m = np.asarray(out.edge_mask)
-    s = np.asarray(out.senders)[m]
-    assert (np.asarray(out.weights)[m] > 0).all()
-    assert s.size > 0
-
-
 def test_degree_trajectory_parity():
     """Iterated-elimination trajectory parity for o_v="degree" (the
     reference's protocol, `rlap_vc_spectral.py:61-116`, run for the
