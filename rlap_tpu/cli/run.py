@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def run_one(cfg, results_dir=None, eval_repeats: int = 1):
+def run_one(cfg, results_dir=None, eval_repeats: int = 1,
+            checkpoint_dir=None, checkpoint_every: int = 100):
     import jax
 
     from rlap_tpu.augment import make_augmentor_pair
@@ -51,7 +52,9 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1):
                               num_layers=cfg.num_layers, lr=cfg.lr,
                               weight_decay=cfg.weight_decay, seed=cfg.seed)
             losses = tr.fit(g, max_epochs=cfg.max_epochs,
-                            tolerance=cfg.tolerance)
+                            tolerance=cfg.tolerance,
+                            checkpoint_dir=checkpoint_dir,
+                            checkpoint_every=checkpoint_every)
         elif cfg.recipe == "mvgrl":
             from rlap_tpu.models.mvgrl import MVGRLTrainer
 
@@ -129,6 +132,10 @@ def main(argv=None):
                        default=f.default)
     p.add_argument("--results-dir", type=str, default=None)
     p.add_argument("--eval-repeats", type=int, default=1)
+    p.add_argument("--checkpoint-dir", type=str, default=None,
+                   help="save trainer state here every --checkpoint-every "
+                        "epochs and resume from it on restart (grace)")
+    p.add_argument("--checkpoint-every", type=int, default=100)
     p.add_argument("--sweep", action="store_true",
                    help="run the reference grid for --recipe")
     args = p.parse_args(argv)
@@ -139,7 +146,9 @@ def main(argv=None):
 
     if not args.sweep:
         run_one(cfg, results_dir=args.results_dir,
-                eval_repeats=args.eval_repeats)
+                eval_repeats=args.eval_repeats,
+                checkpoint_dir=args.checkpoint_dir,
+                checkpoint_every=args.checkpoint_every)
         return
 
     # the reference grids, resumable (skip-if-result-exists)

@@ -95,16 +95,66 @@ class GraceTrainer:
             self.params, self.opt_state, g1, g2)
         return float(loss)
 
+    def _ensure_init(self, g: Graph):
+        """Initialize params/opt_state without running a train step (the
+        RNG consumption mirrors train_epoch's first-call path)."""
+        if self.params is None:
+            g1, g2 = self._views(g)
+            self.key, k = jax.random.split(self.key)
+            self.params = self.model.init(k, g1, g2)["params"]
+            self.opt_state = self.tx.init(self.params)
+
+    def _ckpt_state(self, epoch: int, stopper: EarlyStopper):
+        import numpy as np
+
+        best = stopper.best if np.isfinite(stopper.best) else 1e30
+        return dict(params=self.params, opt_state=self.opt_state,
+                    key=jnp.asarray(self.key),
+                    epoch=jnp.asarray(epoch, jnp.int32),
+                    best=jnp.asarray(best, jnp.float32),
+                    count=jnp.asarray(stopper.count, jnp.int32))
+
     def fit(self, g: Graph, max_epochs: int = 2000, tolerance: int = 50,
-            verbose: bool = False) -> list:
+            verbose: bool = False, checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 100) -> list:
+        """Train with early stopping (`node_shared.py:510-528`). With
+        `checkpoint_dir`, saves (params, opt_state, RNG key, early-stop
+        state) every `checkpoint_every` epochs and at stop, and RESUMES
+        from the latest checkpoint if one exists — a killed 2000-epoch
+        run restarts where it left off (new capability; the reference
+        keeps no weights, SURVEY.md §5)."""
         stopper = EarlyStopper(tolerance)
+        start_epoch = 0
+        if checkpoint_dir is not None:
+            from rlap_tpu.utils.checkpoint import (latest_step,
+                                                   restore_checkpoint)
+
+            step = latest_step(checkpoint_dir)
+            if step is not None:
+                self._ensure_init(g)
+                state = restore_checkpoint(
+                    checkpoint_dir, self._ckpt_state(0, stopper), step=step)
+                self.params = state["params"]
+                self.opt_state = state["opt_state"]
+                self.key = jnp.asarray(state["key"])
+                stopper.best = float(state["best"])
+                stopper.count = int(state["count"])
+                start_epoch = int(state["epoch"]) + 1
         losses = []
-        for epoch in range(max_epochs):
+        for epoch in range(start_epoch, max_epochs):
             loss = self.train_epoch(g)
             losses.append(loss)
             if verbose and epoch % 50 == 0:
                 print(f"epoch {epoch}: loss {loss:.4f}")
-            if stopper.update(loss):
+            stop = stopper.update(loss)
+            if checkpoint_dir is not None and (
+                    stop or epoch == max_epochs - 1
+                    or (epoch + 1) % checkpoint_every == 0):
+                from rlap_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir,
+                                self._ckpt_state(epoch, stopper), step=epoch)
+            if stop:
                 break
         return losses
 

@@ -81,6 +81,7 @@ _VALID_O_N = ("asc", "desc", "random")
 _VALID_SCHEDULE = ("fast", "luby")
 
 _INT_MAX = np.iinfo(np.int32).max
+_RECOMPUTE_DEG = False  # debug knob: per-round full degree recompute
 
 
 def _segmented_cumsum(vals, heads):
@@ -204,84 +205,88 @@ def _eliminate_impl_fast(
     n: int, o_v: str, o_n: str = "random", schedule: str = "fast",
     subiters: int = 3, sampler: str = "independent", compact: bool = True,
 ):
-    """Staged rounds-of-independent-sets elimination (all o_v and o_n modes;
-    graphs beyond the int32 key-packing bound use two-key sorts).
+    """Class-partitioned staged rounds-of-independent-sets elimination
+    (all o_v and o_n modes; graphs beyond the int32 key-packing bound use
+    two-key sorts).
 
     TPU-first redesign of the reference's sequential loop
-    (`preconditioner.cc:713-787`) built around measured TPU primitive costs
-    (tools/profile_rlap3.py): XLA 1D gathers are the slow primitive (~2 ms
-    per e_cap pass), sorts ~3 ms, segmented scans and scatter-min ~1 ms.
-    The round body therefore uses ONE full-pool sort, a handful of
-    scans/scatters, and zero per-element binary searches:
+    (`preconditioner.cc:713-787`) built around measured TPU primitive
+    costs (tools/probe_access.py, on-chip): arbitrary gathers ~9.2
+    ns/element, scatters ~8.5, a 3-array sort ~4.8, segmented scans ~1.5.
+    Round-dynamics simulation (tools/sim_counts.py) shows the Luby
+    selection phase — the round body's dominant cost — only ever needs
+    edges whose endpoints are BOTH pending (non-candidate neighbors
+    contribute pack=+inf and never block), and that both-pending count
+    collapses ~quadratically as pending drains: at BA(20k), t=n/2 the
+    whole run touches 174k both-pending slot-rounds vs 5M pool
+    slot-rounds. The kernel therefore keeps every slot CLASSIFIED and the
+    pool partitioned so each phase runs on the smallest prefix that can
+    affect it:
 
     * **Canonical half-edge pool.** The symmetric directed input folds to
-      one u < v slot per undirected edge at entry (unfolded at exit), so
-      every per-edge pass below runs on half the slots and the mirror-copy
-      bookkeeping disappears.
-    * **Column grouping.** Every edge touching an eliminated vertex i is
-      sorted by the key rho = i*(n+1) + other; duplicate copies of one
-      pair land in ONE adjacent run whose total is v_ij — the
-      `compressColumn` duplicate merge (preconditioner.cc:641-676) for
-      free. Each emitting run tail overwrites its own slot with the
-      sampled clique edge (j, k), re-canonicalized elementwise — the
-      reference's storage reuse (preconditioner.cc:761-772). Untouched
-      edges ride behind the touched block (key = +inf) and pass through
-      unchanged.
-    * **Touched-prefix compaction** (`compact=True`): each round's
-      independent set is budgeted so that its touched edges (exactly
-      sum deg over the set) fit in a static prefix; all per-edge heavy ops
-      (scans, sampling, the merge lookup) run on that prefix only. A set
-      whose cheapest vertex alone exceeds the budget raises the overflow
-      flag (callers escalate by re-running with compact=False).
-    * **Staged active-set pools.** Rounds only read edges with a pending
-      endpoint; as pending drains, whole rounds re-run on statically
-      smaller pool prefixes (see the staged-schedule note in the body),
-      which is where most of the round cost — the per-element-priced
-      gathers/scatters — shrinks.
-    * **Suffix-CDF sampling in run order.** The reference's sampler
-      (`preconditioner.cc:740-776`) is unbiased for ANY fixed column
-      order: for a pair (a, b) with a earlier, only a emits toward b, with
-      probability v_b/S_a and weight v_a*S_a/csum, so E[w(a,b)] =
-      v_a*v_b/csum by the f(1-f) telescoping. o_n="asc"/"desc" shape only
-      the variance: they ride this same staged kernel via one extra
-      prefix-only sort of the merged run tails by (owner, +-v). Two
-      partner samplers:
-      - "independent" (default): per-neighbor independent inverse-CDF
-        draws located by a merge-based rank lookup (`_last_le_lookup`) —
-        matches the reference's distribution exactly;
-      - "race": one reversed segmented min-scan of Exp(1)/v_m keys. Exact
-        per-neighbor marginals but partners within a column are positively
-        correlated (they share race draws), which inflates the top
-        singular value of the output by ~20% on BA graphs. ~8 ms/round
-        cheaper; opt-in for throughput-bound augmentation.
-    * **Packed Luby selection.** Each of `subiters` sub-rounds grows the
-      independent set (strict (degree, pos) minima over remaining
-      candidates) with ONE gather + ONE scatter-min: the packed per-node
-      code -1 = "selected" propagates blocking and the candidate minimum
-      in the same reduction. Isolated vertices keep nmin = +inf and pop
-      immediately, like the reference PQ popping degree-0 columns.
-      Sub-rounds cut the round count ~3x (tools/sim_rounds.py).
+      one slot per undirected edge at entry (unfolded at exit).
+    * **Slot classes, maintained not recomputed.** cls 1 = both endpoints
+      pending, 2 = exactly one (stored pending-endpoint-first), 3 =
+      retired/dead. A class can only change when the slot is rewritten:
+      an eliminated vertex's edges are all touched, so untouched slots
+      keep their class — emissions are classified once at write-back.
+    * **One sort per round, three jobs.** The per-round sort key is
+      rho = owner*(n+1)+other for touched slots and a beyond-rho class
+      code for untouched ones, so a single sort (a) groups each
+      eliminated column's duplicate copies into adjacent runs (the
+      `compressColumn` merge, preconditioner.cc:641-676), (b) packs
+      [touched][cls1][cls2][cls3] so the next round's selection prefix
+      and es/er split are positional, and (c) replaces the old
+      stage-transition packing sort — a stage exits by slicing.
+    * **Selection prefix.** Luby sub-rounds (strict (degree, pos) minima,
+      packed gather + scatter-min per sub-round) run on [0, S),
+      S = e_t + B_cap: last round's emissions plus the cls1 block. A
+      round where the cls1 block could overflow S raises `overflow` and
+      the caller escalates to the uncapped path.
+    * **Split es/er.** Beyond S only cls2/cls3 slots remain; cls2 slots
+      store their pending endpoint first, so the eliminated-endpoint
+      lookup gathers both endpoints on [0, S) but only `s` on [S, P)
+      (elim is a subset of pending, so the non-pending side is never
+      eliminated).
+    * **Incremental degrees.** Degrees (duplicate copies counted, like
+      the reference's lazily-decremented PQ) are carried and updated from
+      the touched prefix only: each touched copy decrements both
+      endpoints, each emission increments its two.
+    * **Touched-prefix budgeting** (`compact=True`) and **staged pool
+      prefixes** as before: the round's eliminated set is trimmed so its
+      touched edges fit e_t, and whole rounds re-run on statically
+      smaller prefixes as the active bound drains.
+    * **Suffix-CDF sampling in run order.** Unchanged semantics: the
+      reference's sampler (`preconditioner.cc:740-776`) is unbiased for
+      any fixed column order; o_n="asc"/"desc" add one prefix-only sort
+      of merged run tails; partner samplers "independent" (merge-based
+      rank lookup, the reference's exact distribution) and "race"
+      (exponential-race, correlated within a column — opt-in).
     """
     e_cap = senders.shape[0]
     wdtype = weights.dtype
     B = n + 1
     # (owner, other) pairs pack into one int32 sort key only while
-    # n*(n+2) < 2^31; larger graphs use two-key sorts with the raw ids.
-    packed = n * (n + 2) < _INT_MAX
+    # n*(n+2) + 4 class codes fit; larger graphs use two-key sorts.
+    packed = n * (n + 2) + 4 < _INT_MAX
     if sampler not in ("independent", "race"):
         raise ValueError(f"unknown sampler {sampler!r}")
     if o_v == "coarsen":
         o_n = "random"  # CoarseningPreconditioner forces o_n (cc:830-833)
 
+    big = jnp.asarray(_INT_MAX, jnp.int32)
+    t1 = jnp.ones((1,), bool)
+    f1 = jnp.zeros((1,), bool)
+    zero_w = jnp.zeros((), wdtype)
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+
     # ---- canonical half-edge pool ----------------------------------------
     # The symmetric directed input (both copies present; the reference
-    # asserts symmetry, factorizers.cc:19-22) folds to one canonical (u < v)
-    # copy per undirected edge: every per-edge cost below (sorts, scans, the
-    # merge lookup, the es/er lookups) is paid on half the slots, and the
-    # mirror-shift write-back machinery disappears — a run tail emits its
-    # sampled clique edge once, re-canonicalized elementwise. Live directed
-    # copies <= e_cap implies pairs <= e_cap // 2, so the fold never drops a
-    # live edge; the unfold at exit re-emits both copies.
+    # asserts symmetry, factorizers.cc:19-22) folds to one canonical copy
+    # per undirected edge: every per-edge cost below is paid on half the
+    # slots and mirror-shift write-back machinery disappears. Live directed
+    # copies <= e_cap implies pairs <= e_cap // 2, so the fold never drops
+    # a live edge; the unfold at exit re-emits both copies.
     e_half = max(e_cap // 2, 1)
     fkey = jnp.where((senders < n) & (senders < receivers),
                      jnp.zeros((), jnp.int32), jnp.ones((), jnp.int32))
@@ -295,13 +300,10 @@ def _eliminate_impl_fast(
             (fkey, senders, receivers, weights), num_keys=1)
         sh, rh = fs[:e_half], fr[:e_half]
     wh = fw[:e_half]
-    # the slice's tail may hold (v, u) reverse copies that sorted behind the
-    # canonical block; they decode with sh >= rh — blank them to padding
-    # (their canonical twins are already in the block).
     good = sh < rh
     sh = jnp.where(good, sh, n)
     rh = jnp.where(good, rh, n)
-    wh = jnp.where(good, wh, jnp.zeros((), wdtype))
+    wh = jnp.where(good, wh, zero_w)
 
     key, kperm = jax.random.split(key)
     perm = jax.random.permutation(kperm, n)
@@ -309,42 +311,39 @@ def _eliminate_impl_fast(
         jnp.arange(n, dtype=jnp.int32))
 
     if o_v == "random":
-        pending = pos < t  # first t of the permutation (preconditioner.cc:588-613)
+        pending = pos < t  # first t of the permutation (cc:588-613)
     else:
         pending = jnp.ones((n,), bool)
 
-    big = jnp.asarray(_INT_MAX, jnp.int32)
-    t1 = jnp.ones((1,), bool)
-    f1 = jnp.zeros((1,), bool)
-    zero_w = jnp.zeros((), wdtype)
-    iota_n = jnp.arange(n, dtype=jnp.int32)
+    # ---- initial classes + orientation + entry class sort ----------------
+    pend_pad = jnp.concatenate([pending, f1])
+    psc = pend_pad[sh]
+    prc = pend_pad[rh]
+    live0 = sh < n
+    cls0 = jnp.where(live0 & psc & prc, 1,
+                     jnp.where(live0 & (psc | prc), 2, 3)).astype(jnp.int32)
+    flip0 = (cls0 == 2) & prc  # cls2 stores its pending endpoint first
+    s0 = jnp.where(flip0, rh, sh)
+    r0 = jnp.where(flip0, sh, rh)
+    if packed:
+        kap0 = s0 * B + r0
+        cls_arr, kap0, w_full = jax.lax.sort((cls0, kap0, wh), num_keys=1)
+        s_full = kap0 // B
+        r_full = kap0 - s_full * B
+    else:
+        cls_arr, s_full, r_full, w_full = jax.lax.sort(
+            (cls0, s0, r0, wh), num_keys=1)
 
-    # ---- staged active-set schedule -------------------------------------
-    # Every quantity a round reads is determined by edges with at least one
-    # PENDING endpoint: a pending vertex's incident edges are by definition
-    # all such edges, so degrees and (deg, pos) priorities computed from the
-    # active set are exact for every candidate; non-pending vertices enter
-    # selection only through their pack value, which never depends on their
-    # degree; and the touched edges of a round are incident to the (pending)
-    # eliminated set. An edge whose endpoints are both non-pending can never
-    # be read or written again — it is final output. Each stage therefore
-    # runs its rounds on a statically smaller pool prefix [0, P) that holds
-    # every active edge, exiting to a 4x smaller prefix once a SAFE bound on
-    # the active count fits it: bound = sum(deg over pending') + sum(deg
-    # over this round's eliminated set), where the second term dominates the
-    # degree growth pending vertices can gain from this round's emissions
-    # (one per sampled clique edge, and emissions < touched = sum deg over
-    # the eliminated set). The transition packs active edges to the front
-    # with one sort; retired edges accumulate behind the next prefix and
-    # pass through to the output untouched.
-    def pending_bound(s_arr, r_arr, pend):
-        live_arr = s_arr < n
-        one = live_arr.astype(jnp.int32)
-        deg_arr = jnp.zeros((n + 1,), jnp.int32).at[s_arr].add(
-            one).at[r_arr].add(one)[:n]
-        return jnp.sum(jnp.where(pend, deg_arr, 0))
+    # ---- initial degrees (full pool, once; updated incrementally) --------
+    livef = s_full < n
+    deg0 = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.concatenate([s_full, r_full])].add(
+        jnp.concatenate([livef, livef]).astype(jnp.int32))[:n]
 
-    def make_stage(P: int, e_t: int, next_P, sub: int):
+    n1_0 = jnp.sum((cls_arr == 1).astype(jnp.int32))
+    n2_0 = jnp.sum((cls_arr == 2).astype(jnp.int32))
+
+    def make_stage(P: int, e_t: int, S: int, next_P, sub: int):
         do_compact = e_t < P
 
         def cond(st):
@@ -356,20 +355,15 @@ def _eliminate_impl_fast(
 
         def body(st):
             s, r, w = st["senders"], st["receivers"], st["weights"]
+            cls = st["cls"]
             pending = st["pending"]
+            deg = st["deg"]
+            if _RECOMPUTE_DEG:  # debug: full per-round recompute (prefix)
+                live_d = s < n
+                deg = jnp.zeros((n + 1,), jnp.int32).at[
+                    jnp.concatenate([s, r])].add(jnp.concatenate(
+                        [live_d, live_d]).astype(jnp.int32))[:n]
             rkey = jax.random.fold_in(st["key"], st["rnd"])
-            live = s < n  # invariant: every real edge has w > 0 at round start
-
-            # ---- degrees (duplicate copies counted, like the reference's
-            # lazily-decremented PQ degrees); each canonical edge feeds both
-            # endpoints. Both-endpoint scatters/gathers below run as ONE
-            # 2P-element op on a concatenated index array — same element
-            # count, fewer serialized scatter passes. --------------------
-            sr = jnp.concatenate([s, r])
-            rs = jnp.concatenate([r, s])
-            live2 = jnp.concatenate([live, live])
-            deg = jnp.zeros((n + 1,), jnp.int32).at[sr].add(
-                live2.astype(jnp.int32))[:n]
 
             if o_v == "random" and schedule == "luby":
                 prio = pos
@@ -377,42 +371,57 @@ def _eliminate_impl_fast(
                 dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
                 prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
 
-            # ---- packed Luby sub-rounds: one gather + one scatter-min each ----
-            elim = jnp.zeros((n,), bool)
-            cand = pending
-            sel = jnp.zeros((n,), bool)
-            n_active = jnp.zeros((), jnp.int32)
-            for it in range(max(1, sub)):
-                pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
-                pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
-                nbr2 = jnp.where(live2, pack_pad[rs], big)
-                if it == 0 and next_P is not None:
-                    # free exact active count: at sub-round 0 cand == pending,
-                    # so pack[u] < big <=> u pending — an edge is active iff
-                    # either gathered pack is finite.
-                    half_p = nbr2.shape[0] // 2
-                    n_active = jnp.sum((live & ((nbr2[:half_p] < big)
-                                                | (nbr2[half_p:] < big))
-                                        ).astype(jnp.int32))
-                nmin = jnp.full((n + 1,), big, jnp.int32).at[sr].min(nbr2)[:n]
-                sel = cand & (prio < nmin) & (nmin >= 0)
-                elim = elim | sel
-                cand = cand & jnp.logical_not(sel) & (nmin >= 0)
+            # ---- Luby selection -----------------------------------------
+            # Runs on the restricted prefix [0, SS): exact iff every
+            # candidate-candidate (cls1) edge lies inside it — `pos1`, the
+            # exact end position of the last cls1 slot, certifies that.
+            # When the cls1 block has outgrown S (dense hubby graphs can
+            # genuinely concentrate both-pending mass), the round falls
+            # back to the full prefix via lax.cond, so the restriction is
+            # a pure optimization, never a correctness cap.
+            def selection(SS):
+                def run():
+                    sS, rS = s[:SS], r[:SS]
+                    liveS = sS < n
+                    srS = jnp.concatenate([sS, rS])
+                    rsS = jnp.concatenate([rS, sS])
+                    live2S = jnp.concatenate([liveS, liveS])
+                    elim = jnp.zeros((n,), bool)
+                    cand = pending
+                    sel = jnp.zeros((n,), bool)
+                    for _ in range(max(1, sub)):
+                        pack = jnp.where(sel, -1,
+                                         jnp.where(cand, prio, big))
+                        pack_pad = jnp.concatenate(
+                            [pack, jnp.full((1,), big, jnp.int32)])
+                        nbr2 = jnp.where(live2S, pack_pad[rsS], big)
+                        nmin = jnp.full((n + 1,), big, jnp.int32).at[
+                            srS].min(nbr2)[:n]
+                        sel = cand & (prio < nmin) & (nmin >= 0)
+                        elim = elim | sel
+                        cand = cand & jnp.logical_not(sel) & (nmin >= 0)
+                    return elim
+                return run
+
+            if S < P:
+                fits_S = st["pos1"] <= S
+                elim = jax.lax.cond(fits_S, selection(S), selection(P))
+            else:
+                fits_S = jnp.ones((), bool)
+                elim = selection(P)()
+            overflow = st["overflow"]
 
             if o_v != "random":
-                # cap this round at the remaining budget, lowest priority first
-                # — the PQ pop order
+                # cap this round at the remaining budget, lowest priority
+                # first — the PQ pop order
                 remaining = t - st["removed"]
                 sorted_prio = jnp.sort(jnp.where(elim, prio, big))
                 kth = sorted_prio[jnp.clip(remaining - 1, 0, n - 1)]
                 elim = elim & (prio <= kth) & (remaining > 0)
 
-            overflow = st["overflow"]
             if do_compact:
-                # trim the set (cheapest prio first) so its touched edges —
-                # exactly sum deg(i) over the set (one canonical copy per
-                # incident edge; no two set members adjacent) — fit the
-                # static prefix
+                # trim the set (cheapest prio first) so its touched edges
+                # — exactly sum deg(i) over the set — fit the prefix
                 prs, nodes = jax.lax.sort(
                     (jnp.where(elim, prio, big), iota_n), num_keys=1)
                 cost = jnp.where(prs < big, deg[nodes], 0)
@@ -423,34 +432,63 @@ def _eliminate_impl_fast(
 
             b_count = jnp.sum(elim.astype(jnp.int32))
             elim_pad = jnp.concatenate([elim, f1])
-            e2 = elim_pad[sr] & live2
-            es = e2[:s.shape[0]]
-            er = e2[s.shape[0]:]
 
-            # ---- the one pool sort: touched edges grouped by their
-            # eliminated endpoint, untouched edges ride to the tail ----------
+            # ---- es/er: when the cls1 invariant holds, gather both
+            # endpoints on [0, S) but only `s` on [S, P) — beyond S only
+            # cls2 (pending endpoint stored first) and cls3 slots remain,
+            # and elim subset-of pending makes their r-side False by
+            # construction. Falls back to the full two-sided gather in
+            # the same rounds selection does. -----------------------------
+            live_p = s < n
+
+            def esr_split():
+                sr2 = jnp.concatenate([s[:S], r[:S]])
+                e2S = elim_pad[sr2] & jnp.concatenate(
+                    [live_p[:S], live_p[:S]])
+                sT = s[S:]
+                esT = elim_pad[sT] & (sT < n)
+                return (jnp.concatenate([e2S[:S], esT]),
+                        jnp.concatenate([e2S[S:],
+                                         jnp.zeros((P - S,), bool)]))
+
+            def esr_full():
+                sr2 = jnp.concatenate([s, r])
+                e2 = elim_pad[sr2] & jnp.concatenate([live_p, live_p])
+                return e2[:P], e2[P:]
+
+            if S < P:
+                es, er = jax.lax.cond(fits_S, esr_split, esr_full)
+            else:
+                es, er = esr_full()
+
+            # ---- the one pool sort: touched edges grouped by column,
+            # untouched packed [cls1][cls2][cls3] by beyond-rho codes ------
             if packed:
-                rho = jnp.where(es, s * B + r, jnp.where(er, r * B + s, big))
-                kap = s * B + r  # identity payload (padding decodes (n, n))
+                base = n * (n + 2) + 1  # > any rho = owner*B + other
+                rho = jnp.where(es, s * B + r,
+                                jnp.where(er, r * B + s, base - 1 + cls))
+                kap = s * B + r
                 rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
                 kap_t = kap[e_t:]
                 ks_t = kap_t // B
                 kr_t = kap_t - ks_t * B
+                cls_tail = rho[e_t:] - (base - 1)  # [e_t:) is all untouched
                 rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
-                touched = rho_p < big
+                touched = rho_p < base
                 owner = jnp.where(touched, rho_p // B, n)
                 other = jnp.where(touched, rho_p - owner * B, n)
                 ks = kap_p // B
                 kr = kap_p - ks * B
                 same = rho_p[1:] == rho_p[:-1]
             else:
-                ow_a = jnp.where(es, s, jnp.where(er, r, big))
-                ot_a = jnp.where(es, r, jnp.where(er, s, big))
+                ow_a = jnp.where(es, s, jnp.where(er, r, n + cls))
+                ot_a = jnp.where(es, r, jnp.where(er, s, 0))
                 ow_a, ot_a, sq, rq, w = jax.lax.sort(
                     (ow_a, ot_a, s, r, w), num_keys=2)
                 ks_t, kr_t = sq[e_t:], rq[e_t:]
+                cls_tail = ow_a[e_t:] - n
                 w_p = w[:e_t]
-                touched = ow_a[:e_t] < big
+                touched = ow_a[:e_t] < n
                 owner = jnp.where(touched, ow_a[:e_t], n)
                 other = jnp.where(touched, ot_a[:e_t], n)
                 ks, kr = sq[:e_t], rq[:e_t]
@@ -458,18 +496,20 @@ def _eliminate_impl_fast(
                         & (other[1:] == other[:-1])) & touched[1:]
             w_t = w[e_t:]
 
-            # ---- runs: duplicate canonical copies of one pair share a key ----
+            # degree decrement indices: every touched copy's original
+            # endpoints, captured before the o_n tail sort pads them
+            dec_s = jnp.where(touched, ks, n)
+            dec_r = jnp.where(touched, kr, n)
+
+            # ---- runs: duplicate copies of one pair share a key ----------
             head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
             is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
             run_sum = _segmented_cumsum(w_p, head_run)
             v = jnp.where(is_tail, run_sum, zero_w)  # column weight v_ij
 
             if o_n in ("asc", "desc"):
-                # o_n orders each eliminated column by weight before the
-                # suffix-CDF pass (compressColumn's sort, cc:295-307): one
-                # cheap prefix-only sort of the merged run tails by
-                # (owner, +-v). Non-tail duplicates were already merged into
-                # their tail, so their identity retires to padding first.
+                # order each eliminated column by weight before the
+                # suffix-CDF pass (compressColumn's sort, cc:295-307)
                 pad_mask = touched & jnp.logical_not(is_tail)
                 ks = jnp.where(pad_mask, n, ks)
                 kr = jnp.where(pad_mask, n, kr)
@@ -485,16 +525,16 @@ def _eliminate_impl_fast(
                 touched = own_t < big
                 is_tail = touched
 
-            # ---- suffix-CDF sampling over run tails within each owner column --
+            # ---- suffix-CDF sampling over run tails per owner column -----
             hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
             cum = _segmented_cumsum(v, hs)
             csum = _segmented_maxscan_rev(cum, hs)
             suffix = csum - cum
 
             if o_v == "coarsen":
-                # one partner per whole column ~ v_k/csum; every other neighbor
-                # rewires onto it with harmonic weights (preconditioner.cc:866-912):
-                # broadcast the column-wide exponential-race winner forward
+                # one partner per whole column ~ v_k/csum; every other
+                # neighbor rewires onto it with harmonic weights
+                # (preconditioner.cc:866-912)
                 eu = jnp.maximum(
                     jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
                     jnp.asarray(1e-12, jnp.float32))
@@ -504,14 +544,10 @@ def _eliminate_impl_fast(
                 _, race_o, race_v = _segmented_race_rev(race_x, other, v, hs)
                 partner = _segmented_headscan(jnp.where(hs, race_o, 0), hs)
                 w_k = _segmented_headscan(jnp.where(hs, race_v, zero_w), hs)
-                # the winner's own edge (i, k) is zeroed (preconditioner.cc:879-882)
                 emit = is_tail & (csum > 0) & (other != partner)
                 denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
                 wnew = jnp.where(emit, v * w_k / denom, zero_w)
             elif sampler == "race":
-                # suffix sample via exponential race: min over later tails of
-                # Exp(1)/v_m picks m with probability v_m/S_j — exact marginals,
-                # positively correlated within a column (see docstring)
                 eu = jnp.maximum(
                     jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
                     jnp.asarray(1e-12, jnp.float32))
@@ -525,14 +561,13 @@ def _eliminate_impl_fast(
                 csafe = jnp.where(csum > 0, csum, 1.0)
                 wnew = jnp.where(emit, v * suffix / csafe, zero_w)
             else:
-                # independent per-neighbor inverse-CDF draws, located by one
-                # merge-based rank lookup (first tail with cum > rv)
+                # independent per-neighbor inverse-CDF draws, located by
+                # one merge-based rank lookup (first tail with cum > rv)
                 u = jax.random.uniform(rkey, (e_t,),
                                        dtype=jnp.float32).astype(wdtype)
                 rv = cum + u * suffix
-                # rv can round UP to csum in f32; keep it strictly inside the
-                # column so the lookup can never escape into the next column
-                rv = jnp.minimum(rv, jnp.nextafter(csum, jnp.zeros_like(csum)))
+                rv = jnp.minimum(rv, jnp.nextafter(csum,
+                                                   jnp.zeros_like(csum)))
                 emit = is_tail & (suffix > 0)
                 q = _last_le_lookup(
                     (owner, cum),
@@ -543,88 +578,116 @@ def _eliminate_impl_fast(
                 csafe = jnp.where(csum > 0, csum, 1.0)
                 wnew = jnp.where(emit, v * suffix / csafe, zero_w)
 
-            # ---- write-back: each emitting run tail overwrites its own slot
-            # with the sampled clique edge, re-canonicalized; every other
-            # touched slot retires to padding -------------------------------
+            # ---- write-back: each emitting run tail overwrites its own
+            # slot; other touched slots retire to padding -----------------
             can_s = jnp.minimum(other, partner)
             can_r = jnp.maximum(other, partner)
             s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
             r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
             w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
 
-            s_new = jnp.concatenate([s_new, ks_t])
-            r_new = jnp.concatenate([r_new, kr_t])
-            w_new = jnp.concatenate([w_new, w_t])
-
+            # ---- classify + orient the prefix, update degrees ------------
             pending_next = pending & jnp.logical_not(elim)
-            if next_P is not None:
-                # safe active-count bound for the NEXT round: the exact
-                # start-of-round active count (active edges only shrink as
-                # pending shrinks) plus sum(deg over elim), which dominates
-                # the new active edges this round's emissions can add.
-                bound = n_active + jnp.sum(jnp.where(elim, deg, 0))
-            else:
-                bound = st["bound"]
+            pnp = jnp.concatenate([pending_next, f1])
+            live_new = s_new < n
+            psn = pnp[s_new]
+            prn = pnp[r_new]
+            cls_p = jnp.where(live_new & psn & prn, 1,
+                              jnp.where(live_new & (psn | prn), 2, 3)
+                              ).astype(jnp.int32)
+            flip = (cls_p == 2) & prn
+            s_fin = jnp.where(flip, r_new, s_new)
+            r_fin = jnp.where(flip, s_new, r_new)
+            cls_next = jnp.concatenate([cls_p, cls_tail])
+
+            one_m = jnp.ones((e_t,), jnp.int32)
+            # increments: only touched slots hold NEW edges (emissions);
+            # untouched pass-through slots in the prefix were never
+            # decremented and must not be re-counted
+            inc = touched & live_new
+            didx = jnp.concatenate([
+                dec_s, dec_r,
+                jnp.where(inc, s_new, n),
+                jnp.where(inc, r_new, n)])
+            dval = jnp.concatenate([-one_m, -one_m, one_m, one_m])
+            deg_next = jnp.concatenate(
+                [deg, jnp.zeros((1,), jnp.int32)]).at[didx].add(dval)[:n]
+
+            # exact last-position bounds (end positions, i.e. index + 1):
+            # pos1 over cls1 slots drives the selection-prefix invariant;
+            # bound over any active (cls <= 2) slot drives stage exit
+            iota_p = jnp.arange(P, dtype=jnp.int32)
+            pos1 = jnp.max(jnp.where(cls_next == 1, iota_p, -1)) + 1
+            bound = jnp.max(jnp.where(cls_next <= 2, iota_p, -1)) + 1
+
             return dict(
-                senders=s_new, receivers=r_new, weights=w_new,
+                senders=jnp.concatenate([s_fin, ks_t]),
+                receivers=jnp.concatenate([r_fin, kr_t]),
+                weights=jnp.concatenate([w_new, w_t]),
+                cls=cls_next,
                 pending=pending_next,
+                deg=deg_next,
                 removed=st["removed"] + b_count,
                 npend=jnp.sum(pending_next.astype(jnp.int32)),
                 key=st["key"],
                 rnd=st["rnd"] + 1,
                 overflow=overflow,
+                pos1=pos1,
                 bound=bound,
             )
 
         return cond, body
 
     carry = dict(
-        pending=pending, removed=jnp.zeros((), jnp.int32),
+        pending=pending, deg=deg0,
+        removed=jnp.zeros((), jnp.int32),
         npend=jnp.sum(pending.astype(jnp.int32)),
         key=key, rnd=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), bool),
+        pos1=n1_0,
+        bound=n1_0 + n2_0,
     )
-    s_full, r_full, w_full = sh, rh, wh
     stages = _stage_sizes(e_half) if compact else (e_half,)
-    for si, P in enumerate(stages):
-        next_P = stages[si + 1] if si + 1 < len(stages) else None
+
+    def stage_params(si, P):
         if compact:
-            # touched budget: a quarter of the pool for the big first stage
-            # (measured touched peaks at ~24% of E on BA(20k); the per-round
-            # trim defers overflowing vertices), half for the small tails
-            # where single high-degree hub columns need the headroom.
+            # touched budget: a quarter of the pool for the big first
+            # stage, half for the small tails where single hub columns
+            # need the headroom
             frac = 4 if si == 0 else 2
             e_t = min(P, max(((P // frac + 1023) // 1024) * 1024, 1024))
         else:
             e_t = P
-        st = dict(senders=s_full[:P], receivers=r_full[:P],
-                  weights=w_full[:P], **carry)
-        st["bound"] = (pending_bound(st["senders"], st["receivers"],
-                                     carry["pending"])
-                       if next_P is not None else jnp.zeros((), jnp.int32))
+        if o_v == "random" and compact and e_t < P:
+            # cls1 cap: round-0 both-pending mass is (t/n)^2 of the pool
+            # (~25% at the t=n/2 production shape) and collapses
+            # quadratically; 0.3 P covers it with margin at every stage,
+            # and the stage gate above keeps rounds at the larger prefix
+            # until the cls1 block provably fits (overflow escalates
+            # otherwise)
+            b_cap = min(P, ((int(0.3 * P) + 1023) // 1024) * 1024)
+            S = min(P, e_t + b_cap)
+        else:
+            S = P
+        return e_t, S
+
+    for si, P in enumerate(stages):
+        next_P = stages[si + 1] if si + 1 < len(stages) else None
+        e_t, S = stage_params(si, P)
         sub = (subiters if isinstance(subiters, int)
                else subiters[min(si, len(subiters) - 1)])
-        cond, body = make_stage(P, e_t, next_P, sub)
+        st = dict(senders=s_full[:P], receivers=r_full[:P],
+                  weights=w_full[:P], cls=cls_arr[:P], **carry)
+        cond, body = make_stage(P, e_t, S, next_P, sub)
         out = jax.lax.while_loop(cond, body, st)
         carry = {k: out[k] for k in carry}
-        sP, rP, wP = out["senders"], out["receivers"], out["weights"]
-        if next_P is not None:
-            # transition: pack active (pending-incident) edges into the
-            # front of [0, P) so the next stage's prefix holds all of them;
-            # retired edges settle behind it as finished output.
-            pend_pad = jnp.concatenate([carry["pending"], f1])
-            act = (sP < n) & (pend_pad[sP] | pend_pad[rP])
-            akey = jnp.where(act, 0, 1).astype(jnp.int32)
-            if packed:
-                kapP = sP * B + rP
-                _, kapP, wP = jax.lax.sort((akey, kapP, wP), num_keys=1)
-                sP = kapP // B
-                rP = kapP - sP * B
-            else:
-                _, sP, rP, wP = jax.lax.sort((akey, sP, rP, wP), num_keys=1)
-        s_full = jnp.concatenate([sP, s_full[P:]])
-        r_full = jnp.concatenate([rP, r_full[P:]])
-        w_full = jnp.concatenate([wP, w_full[P:]])
+        # stage exit is a pure slice: the per-round sort already packs
+        # [touched][cls1][cls2][cls3], and the bound gate guarantees all
+        # active slots fit the next prefix
+        s_full = jnp.concatenate([out["senders"], s_full[P:]])
+        r_full = jnp.concatenate([out["receivers"], r_full[P:]])
+        w_full = jnp.concatenate([out["weights"], w_full[P:]])
+        cls_arr = jnp.concatenate([out["cls"], cls_arr[P:]])
 
     # ---- unfold the canonical pool back to symmetric directed COO --------
     pad = max(0, e_cap - 2 * e_half)  # 1 when e_cap is odd

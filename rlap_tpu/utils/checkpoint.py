@@ -32,3 +32,14 @@ def restore_checkpoint(path: str, template: Any,
     with ocp.CheckpointManager(str(path)) as mgr:
         step = step if step is not None else mgr.latest_step()
         return mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+
+def latest_step(path: str) -> Optional[int]:
+    """Latest saved step under `path`, or None when no checkpoint exists."""
+    import orbax.checkpoint as ocp
+
+    p = Path(path).absolute()
+    if not p.is_dir():
+        return None
+    with ocp.CheckpointManager(str(p)) as mgr:
+        return mgr.latest_step()

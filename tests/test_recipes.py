@@ -101,3 +101,38 @@ def test_cca_ssg_learns(node_data):
     assert losses[-1] < losses[0]
     res = tr.evaluate(g, y)
     assert res["accuracy"] > 0.4
+
+
+def test_grace_checkpoint_resume(node_data, tmp_path):
+    """Kill-and-resume: training 4 epochs, 'dying', then resuming from the
+    checkpoint must reproduce the uninterrupted 10-epoch run EXACTLY
+    (params allclose) — the checkpoint carries params, opt state, the RNG
+    key, and the early-stop state, so the augmentation stream continues
+    where it left off."""
+    from rlap_tpu.models.grace import GraceTrainer
+
+    g, y = node_data
+
+    def make():
+        a1 = Compose([EdgeRemoving(0.2), FeatureMasking(0.3)])
+        a2 = Compose([RLap(0.2), FeatureMasking(0.3)])
+        return GraceTrainer(a1, a2, hidden_dim=16, num_layers=2, seed=7)
+
+    ref = make()
+    ref_losses = ref.fit(g, max_epochs=10, tolerance=50)
+
+    ck = str(tmp_path / "ck")
+    t1 = make()
+    part = t1.fit(g, max_epochs=4, tolerance=50,
+                  checkpoint_dir=ck, checkpoint_every=2)
+    t2 = make()  # fresh process stand-in
+    rest = t2.fit(g, max_epochs=10, tolerance=50,
+                  checkpoint_dir=ck, checkpoint_every=2)
+    # epochs 0..3 ran in t1 (checkpoint at epoch 3), t2 resumes at 4
+    assert len(part) == 4 and len(rest) == 6
+    np.testing.assert_allclose(np.array(part + rest),
+                               np.array(ref_losses), rtol=1e-4)
+    ref_flat = jax.tree_util.tree_leaves(ref.params)
+    res_flat = jax.tree_util.tree_leaves(t2.params)
+    for a, b in zip(ref_flat, res_flat):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)

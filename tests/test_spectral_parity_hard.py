@@ -192,3 +192,58 @@ def test_iterated_trajectory_parity():
         ke, oe = k["edges_mean"][s], o_edges[:, s].mean()
         assert abs(ksv - osv) / osv < 0.15, (s, ksv, osv)
         assert abs(ke - oe) / oe < 0.15, (s, ke, oe)
+
+
+def test_parity_n2000_restricted_selection():
+    """Parity at a size whose pool exceeds the stage floor, so the
+    class-partitioned kernel actually runs Luby selection on the
+    restricted S = e_t + B_cap prefix (S < P at both stages for this
+    shape) — the smaller parity sizes degenerate to S = P and would not
+    catch a both-pending slot escaping the selection prefix. ER graph:
+    BA max-SV at this size is bimodal on the top hub's survival coin,
+    which a 5-seed mean cannot resolve (the hub case is covered by
+    test_hub_graph_no_overflow)."""
+    g = er_graph(2000, 0.008, 31)
+    t = 1000
+    ks = np.mean([_kernel_stats(g, t, s) for s in range(5)], axis=0)
+    os_ = np.mean([_oracle_stats(g, t, s) for s in range(5)], axis=0)
+    for i, name in enumerate(("max_sv", "edges", "wsum")):
+        assert abs(ks[i] - os_[i]) / os_[i] < 0.15, (name, ks[i], os_[i])
+
+
+def test_hub_graph_elimination_contract():
+    """A pending high-degree hub must never silently survive. Raw
+    `eliminate` either removes all t targets or raises the overflow flag
+    (a hub's endgame column can outgrow the touched budget — the
+    documented escalate-to-uncapped contract), and the public
+    `approximate_cholesky` path, which escalates on overflow, always
+    eliminates exactly the targeted set — hubs included. Regression test
+    for the bug where hub-pending seeds tripped a selection-prefix cap
+    and reported removed = t - 1 with the hub surviving and no recovery
+    path."""
+    import jax
+
+    from rlap_tpu.ops.rlap import approximate_cholesky, eliminate
+
+    g = barabasi_albert(2000, 8, seed=21)
+    deg = np.bincount(np.asarray(g.senders)[np.asarray(g.edge_mask)],
+                      minlength=2000)
+    hub = int(np.argmax(deg))
+    t = 1000
+    for s in range(6):
+        _, removed, overflow = eliminate(g, jax.random.PRNGKey(s), t)
+        assert int(removed) == t or bool(overflow), (s, int(removed))
+        out = approximate_cholesky(g, jax.random.PRNGKey(s), t)
+        m = np.asarray(out.edge_mask)
+        wdeg = np.zeros(2000)
+        np.add.at(wdeg, np.asarray(out.senders)[m],
+                  np.asarray(out.weights)[m])
+        # recompute this seed's pending set the way the kernel does
+        key, kperm = jax.random.split(jax.random.PRNGKey(s))
+        perm = np.asarray(jax.random.permutation(kperm, 2000))
+        pos = np.zeros(2000, np.int64)
+        pos[perm] = np.arange(2000)
+        if pos[hub] < t:
+            assert wdeg[hub] == 0.0, (s, wdeg[hub])
+        else:
+            assert wdeg[hub] > 0.0, s
