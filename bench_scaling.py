@@ -102,6 +102,13 @@ def main():
         "value": round(eff, 4),
         "unit": "fraction",
         "vs_baseline": round(eff / 0.8, 3),
+        # absolute context: the efficiency RATIO on shared-core virtual
+        # devices penalizes absolute kernel speedups (a faster
+        # single-shard denominator lowers the ratio at fixed overhead),
+        # so record both throughputs alongside it
+        "edges_per_s_1dev": round(eps1),
+        "edges_per_s_full_mesh": round(epsp),
+        "n_devices": p,
     }))
 
 

@@ -82,6 +82,13 @@ _VALID_SCHEDULE = ("fast", "luby")
 
 _INT_MAX = np.iinfo(np.int32).max
 _RECOMPUTE_DEG = False  # debug knob: per-round full degree recompute
+# stage-schedule tuning knobs (module-level so bench tools can A/B them),
+# tuned on the v5e at BA(20k) t=n/2 (tools/ab_sched.py): touched-budget
+# divisor per non-final stage (last entry repeats), divisor for the FINAL
+# stage (endgame hub columns need the headroom), cls1-cap fraction
+_ET_FRACS: Tuple[int, ...] = (6,)
+_ET_FRAC_LAST = 2
+_B_FRAC = 0.18
 
 
 def _segmented_cumsum(vals, heads):
@@ -649,23 +656,27 @@ def _eliminate_impl_fast(
     )
     stages = _stage_sizes(e_half) if compact else (e_half,)
 
-    def stage_params(si, P):
+    def stage_params(si, P, is_last):
         if compact:
-            # touched budget: a quarter of the pool for the big first
-            # stage, half for the small tails where single hub columns
-            # need the headroom
-            frac = 4 if si == 0 else 2
+            # touched budget: tight (P/6) while stages are shrinking —
+            # smaller prefixes for every per-round op beat the extra
+            # rounds — but generous (P/2) at the final stage, where the
+            # endgame eliminates hub columns that must fit in one round
+            if is_last:
+                frac = _ET_FRAC_LAST
+            else:
+                fr = _ET_FRACS
+                frac = fr[min(si, len(fr) - 1)]
             e_t = min(P, max(((P // frac + 1023) // 1024) * 1024, 1024))
         else:
             e_t = P
         if o_v == "random" and compact and e_t < P:
             # cls1 cap: round-0 both-pending mass is (t/n)^2 of the pool
             # (~25% at the t=n/2 production shape) and collapses
-            # quadratically; 0.3 P covers it with margin at every stage,
-            # and the stage gate above keeps rounds at the larger prefix
-            # until the cls1 block provably fits (overflow escalates
-            # otherwise)
-            b_cap = min(P, ((int(0.3 * P) + 1023) // 1024) * 1024)
+            # quadratically; _B_FRAC * P covers it with margin at every
+            # stage; a round whose cls1 block outgrew S falls back to
+            # full-prefix selection via the in-body lax.cond
+            b_cap = min(P, ((int(_B_FRAC * P) + 1023) // 1024) * 1024)
             S = min(P, e_t + b_cap)
         else:
             S = P
@@ -673,7 +684,7 @@ def _eliminate_impl_fast(
 
     for si, P in enumerate(stages):
         next_P = stages[si + 1] if si + 1 < len(stages) else None
-        e_t, S = stage_params(si, P)
+        e_t, S = stage_params(si, P, next_P is None)
         sub = (subiters if isinstance(subiters, int)
                else subiters[min(si, len(subiters) - 1)])
         st = dict(senders=s_full[:P], receivers=r_full[:P],

@@ -132,7 +132,12 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
             dclamp = max(1, (_INT_MAX - n) // (n + 1) - 1)
             prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
 
-        # ---- packed Luby sub-rounds; owner-exact minima, block-gathered --
+        # ---- packed Luby sub-rounds; owner-exact minima, block-gathered.
+        # The scatter-min target is the shard's OWN node block (senders of
+        # local edges are in-block by partitioning), not the full n table:
+        # the per-sub-round table init is block-sized, so the replicated
+        # vertex-side work per shard stays ~n/P instead of n. -------------
+        s_blk = jnp.where(live, s - blk_lo, block_sz)
         elim = jnp.zeros((n,), bool)
         cand = pending
         sel = jnp.zeros((n,), bool)
@@ -140,9 +145,9 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
             pack = jnp.where(sel, -1, jnp.where(cand, prio, big))
             pack_pad = jnp.concatenate([pack, jnp.full((1,), big, jnp.int32)])
             nbr = jnp.where(live, pack_pad[r], big)
-            nmin_part = jnp.full((nblk + 1,), big,
-                                 jnp.int32).at[s].min(nbr)[:nblk]
-            nmin = gather_owned(nmin_part)
+            nmin_blk = jnp.full((block_sz + 1,), big,
+                                jnp.int32).at[s_blk].min(nbr)[:block_sz]
+            nmin = jax.lax.all_gather(nmin_blk, axis, tiled=True)[:n]
             sel = cand & (prio < nmin) & (nmin >= 0)
             elim = elim | sel
             cand = cand & jnp.logical_not(sel) & (nmin >= 0)
@@ -165,13 +170,24 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         rho_s, kap_s, w_s, keep_s = jax.lax.sort(
             (rho, kap, w, keep_w), num_keys=1)
         touched = rho_s < big
-        owner_col = jnp.where(touched, rho_s // B, n)
-        other = jnp.where(touched, rho_s - owner_col * B, n)
 
-        same = rho_s[1:] == rho_s[:-1]
-        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
-        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
-        run_sum = _segmented_cumsum(w_s, head_run)
+        # the rho sort puts touched slots at the front, so the whole
+        # sampling + routing phase runs on a half-cap static prefix;
+        # rounds whose touched set outgrows it (possible once the pool
+        # has grown into its slack region) flag overflow and the caller
+        # escalates with doubled slack
+        EC = max(cap // 2, 128)
+        over_touch = jnp.any(touched[EC:])
+        touched_e = touched[:EC]
+        rho_e = rho_s[:EC]
+        w_e = w_s[:EC]
+        owner_col = jnp.where(touched_e, rho_e // B, n)
+        other = jnp.where(touched_e, rho_e - owner_col * B, n)
+
+        same = rho_e[1:] == rho_e[:-1]
+        head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched_e
+        is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched_e
+        run_sum = _segmented_cumsum(w_e, head_run)
         v = jnp.where(is_tail, run_sum, zero_w)
 
         hs = jnp.concatenate([t1, owner_col[1:] != owner_col[:-1]])
@@ -184,7 +200,7 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
             rv = u_node[jnp.clip(owner_col, 0, n)].astype(wdtype) * csum
             maybe = is_tail & (csum > 0)
         else:
-            u = jax.random.uniform(ukey, (cap,), dtype=jnp.float32
+            u = jax.random.uniform(ukey, (EC,), dtype=jnp.float32
                                    ).astype(wdtype)
             rv = cum + u * suffix
             maybe = is_tail & (suffix > 0)
@@ -194,11 +210,11 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
             (owner_col, cum),
             (jnp.where(maybe, owner_col, n + 1),
              jnp.where(maybe, rv, zero_w))) + 1
-        q = jnp.clip(q, 0, cap - 1)
+        q = jnp.clip(q, 0, EC - 1)
         partner = other[q]
 
         if o_v == "coarsen":
-            idx = jnp.arange(cap, dtype=jnp.int32)
+            idx = jnp.arange(EC, dtype=jnp.int32)
             w_k = v[q]
             emit = maybe & (idx != q)
             denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
@@ -225,13 +241,14 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         # counts measured per round (tools/measure_dist_routing.py): a
         # round's emissions are <= the touched-column tails (~cap/8 per
         # shard at subiters=3) and spread over P destinations, so a
-        # cap/(2P) per-destination buffer keeps >= 4x headroom at P >= 4
-        # while shrinking the received block (and the survivor merge sort
-        # behind it) by 2P/4 vs the old cap/4 sizing; overflow is flagged
-        # (and the caller can raise `slack`).
-        cap_route = max(min(cap // max(4, 2 * num_shards), cap), 128)
+        # cap/(4P) per-destination buffer keeps ~2x headroom on balanced
+        # graphs while halving the received block (and the survivor merge
+        # sort behind it); a skewed graph (hub column emitting into one
+        # shard) trips `over_route` and `eliminate_sharded` escalates by
+        # re-running with doubled slack, which doubles cap_route too.
+        cap_route = max(min(cap // max(4, 4 * num_shards), cap), 128)
         dsort, ksort, wsort = jax.lax.sort((dest, ekap, e_w), num_keys=1)
-        didx = jnp.arange(2 * cap, dtype=jnp.int32)
+        didx = jnp.arange(2 * EC, dtype=jnp.int32)
         dstart = jnp.searchsorted(dsort, jnp.arange(num_shards + 1,
                                                     dtype=jnp.int32),
                                   side="left").astype(jnp.int32)
@@ -276,7 +293,7 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
             removed=st["removed"] + b_count,
             npend=jnp.sum(pending_next.astype(jnp.int32)),
             rnd=st["rnd"] + 1,
-            overflow=st["overflow"] | over_route | over_cap,
+            overflow=st["overflow"] | over_touch | over_route | over_cap,
         )
 
     out = jax.lax.while_loop(cond, body, state)
@@ -306,8 +323,9 @@ def _eliminate_sharded_jit(senders, receivers, weights, key, t, n,
 
 def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
                       axis: str = "data", o_v: str = "random",
-                      subiters: int = 3,
-                      slack: int = 2) -> Tuple[Graph, jax.Array, jax.Array]:
+                      subiters: int = 3, slack: int = 2,
+                      max_escalations: int = 0
+                      ) -> Tuple[Graph, jax.Array, jax.Array]:
     """Multi-chip `eliminate` (o_n="random" semantics). The graph's edge
     arrays must be arranged by `partition_edges_by_sender(g, num_shards)` so
     shard p's slice holds exactly the edges whose sender is in node block p.
@@ -318,6 +336,15 @@ def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
     the final round; run `core.graph.coalesce` on it (or keep feeding it to
     shard-local consumers — SpMM is insensitive to duplicates since
     segment-sum adds them).
+
+    Static per-shard capacities (`slack * local_edges` pool; per-dest
+    routing buffers sized from it) can overflow on skewed graphs — a hub
+    column whose emissions all route to one shard. With
+    `max_escalations > 0` an overflowed call re-runs with doubled
+    `slack` (doubling pool and routing capacities) up to that many
+    times, the sharded analogue of the single-chip compact=False
+    escalation; each escalation compiles a new program, so steady-state
+    callers should pass the sticking slack directly.
     """
     if o_v not in ("random", "degree", "coarsen"):
         raise ValueError(f"unsupported o_v {o_v!r}")
@@ -328,6 +355,13 @@ def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
     s, r, w, removed, _rounds, overflow = _eliminate_sharded_jit(
         g.senders, g.receivers, g.weights, key, t, n, mesh=mesh, axis=axis,
         o_v=o_v, subiters=subiters, slack=slack)
+    for _ in range(max_escalations):
+        if not bool(jax.device_get(overflow)):
+            break
+        slack *= 2
+        s, r, w, removed, _rounds, overflow = _eliminate_sharded_jit(
+            g.senders, g.receivers, g.weights, key, t, n, mesh=mesh,
+            axis=axis, o_v=o_v, subiters=subiters, slack=slack)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=n, x=g.x,
                 node_mask=g.node_mask)
     return out, removed, overflow
