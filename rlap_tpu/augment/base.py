@@ -25,6 +25,13 @@ class Augmentor:
     def __call__(self, g: Graph, key: jax.Array) -> Graph:
         return self.augment(g, key)
 
+    def traceable(self, g: Graph, key: jax.Array) -> Graph:
+        """Fully-traceable variant for whole-pipeline `jax.jit` analysis
+        (compiled-memory benchmarks): identical semantics except host-side
+        branches (e.g. rLap's overflow escalation) are omitted. Defaults
+        to `augment`; override where augment syncs to the host."""
+        return self.augment(g, key)
+
 
 class Identity(Augmentor):
     def augment(self, g: Graph, key: jax.Array) -> Graph:
@@ -38,6 +45,13 @@ class Compose(Augmentor):
     def augment(self, g: Graph, key: jax.Array) -> Graph:
         for i, aug in enumerate(self.augmentors):
             g = aug(g, jax.random.fold_in(key, i))
+        return g
+
+    def traceable(self, g: Graph, key: jax.Array) -> Graph:
+        for i, aug in enumerate(self.augmentors):
+            g = aug.traceable(g, jax.random.fold_in(key, i)) \
+                if isinstance(aug, Augmentor) else aug(
+                    g, jax.random.fold_in(key, i))
         return g
 
 

@@ -39,3 +39,15 @@ class RLap(Augmentor):
             out = out.replace(
                 weights=out.edge_mask.astype(out.weights.dtype))
         return out
+
+    def traceable(self, g: Graph, key: jax.Array) -> Graph:
+        """Same pipeline without the host-side overflow escalation (a
+        traced overflow flag cannot drive a python branch) — used by the
+        compiled-memory benchmark; overflow is simply ignored here."""
+        num_remove = int(self.frac * g.num_nodes)
+        out, _removed, _overflow = eliminate(
+            g, key, num_remove, o_v=self.o_v, o_n=self.o_n)
+        if not self.keep_weights:
+            out = out.replace(
+                weights=out.edge_mask.astype(out.weights.dtype))
+        return out

@@ -25,6 +25,29 @@ def _device_mem() -> Optional[int]:
     return None if st is None else st.get("bytes_in_use")
 
 
+def _peak_hbm(aug, g: Graph, key) -> Optional[Dict[str, int]]:
+    """Compiled-executable memory analysis of the whole augmentation
+    pipeline (the reference's memory-profiler axis,
+    `augmentor_benchmarks.py:366-393`, measured the TPU way): peak HBM =
+    arguments + outputs + XLA temp buffers of the jitted program. Uses
+    the augmentor's `traceable` variant (host-side escalation branches
+    omitted). Returns None when the backend exposes no analysis."""
+    try:
+        fn = getattr(aug, "traceable", aug)
+        compiled = jax.jit(fn).lower(g, key).compile()
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return None
+        arg = int(getattr(ma, "argument_size_in_bytes", 0))
+        out = int(getattr(ma, "output_size_in_bytes", 0))
+        tmp = int(getattr(ma, "temp_size_in_bytes", 0))
+        return {"peak_hbm_bytes": arg + out + tmp,
+                "hbm_args_bytes": arg, "hbm_out_bytes": out,
+                "hbm_temp_bytes": tmp}
+    except Exception:  # noqa: BLE001 — analysis is best-effort
+        return None
+
+
 def bench_augmentor(aug, g: Graph, repeats: int = 10,
                     seed: int = 0) -> Dict[str, float]:
     key = jax.random.PRNGKey(seed)
@@ -43,12 +66,16 @@ def bench_augmentor(aug, g: Graph, repeats: int = 10,
     m1 = _device_mem()
     e = int(np.asarray(g.edge_mask).sum())
     mean = float(np.mean(times))
-    return {
+    res = {
         "latency_ms_mean": mean * 1e3,
         "latency_ms_std": float(np.std(times)) * 1e3,
         "edges_per_s": e / mean if mean > 0 else float("inf"),
         "mem_delta_bytes": (None if m0 is None or m1 is None else m1 - m0),
     }
+    hbm = _peak_hbm(aug, g, key)
+    if hbm is not None:
+        res.update(hbm)
+    return res
 
 
 def bench_all(g: Graph, names: Sequence[str] = AUGMENTOR_NAMES,

@@ -85,6 +85,17 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
 
         log.metric("final_loss", losses[-1], step=len(losses))
         log.metric("epochs", len(losses))
+        # raw-feature control: the same linear-probe protocol on g.x
+        # directly — embeddings must beat this for the recipe to be
+        # credited with learning structure (meaningful on the synthetic
+        # stand-ins, whose features are deliberately weakly informative)
+        from rlap_tpu.eval import get_split, lr_evaluate
+
+        split0 = get_split(g.num_nodes, 0.1, 0.8, seed=0)
+        raw = lr_evaluate(np.asarray(g.x), y, split0,
+                          num_classes=int(np.max(np.asarray(y))) + 1)
+        log.log("raw_feature_baseline", accuracy=raw["accuracy"],
+                micro_f1=raw["micro_f1"])
         for rep in range(eval_repeats):
             res = tr.evaluate(g, y, seed=rep)
             # the reference's scraped grammar, as structured fields

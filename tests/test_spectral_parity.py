@@ -68,3 +68,21 @@ def test_spectral_expectation_parity(o_v, o_n, frac):
     assert abs(k_sv - o_sv) / o_sv < 0.25, (k_sv, o_sv)
     assert abs(k_edges - o_edges) / o_edges < 0.30, (k_edges, o_edges)
     assert abs(k_wt - o_wt) / o_wt < 0.30, (k_wt, o_wt)
+
+
+def test_ppr_edge_counts():
+    """`ppr_edge_counts` (the reference's rlap_ppr_edge_plots.py:23-96
+    analysis): PPR on the rLap Schur complement must produce a sparser
+    view than PPR on the full graph — the paper's headline observation —
+    and counts must be positive and monotone-ish in the retained
+    fraction."""
+    from rlap_tpu.bench.spectral import ppr_edge_counts
+    from rlap_tpu.data.synthetic import barabasi_albert
+
+    g = barabasi_albert(200, 4, seed=3)
+    out = ppr_edge_counts(g, fractions=(0.2, 0.5), seed=0)
+    assert out["ppr"] > 0
+    for frac, cnt in out["rlap_ppr"].items():
+        assert 0 < cnt < out["ppr"], (frac, cnt, out["ppr"])
+    # removing more nodes leaves fewer post-diffusion edges
+    assert out["rlap_ppr"][0.5] < out["rlap_ppr"][0.2]
