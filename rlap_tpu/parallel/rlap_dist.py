@@ -67,6 +67,10 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
     w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
     wdtype = w.dtype
     B = n + 1
+    # (owner, other) pairs pack into one int32 key only while n*(n+2)
+    # fits; beyond that (ogbn-arxiv scale) every keyed pass uses two-key
+    # sorts on the raw ids and the all_to_all carries (s, r, w) lanes
+    packed = n * (n + 2) < _INT_MAX
     big = jnp.asarray(_INT_MAX, jnp.int32)
     t1 = jnp.ones((1,), bool)
     f1 = jnp.zeros((1,), bool)
@@ -164,12 +168,23 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         er = elim_pad[r] & live
 
         # ---- group eliminated local columns; merge duplicate copies ------
-        rho = jnp.where(es, s * B + r, big)
-        kap = s * B + r
+        # columns are sender-local, so the owner of every touched slot is
+        # its own sender: group by (s, r) over touched slots only
         keep_w = jnp.where(es | er, zero_w, w)   # survivors keep weight
-        rho_s, kap_s, w_s, keep_s = jax.lax.sort(
-            (rho, kap, w, keep_w), num_keys=1)
-        touched = rho_s < big
+        if packed:
+            rho = jnp.where(es, s * B + r, big)
+            kap = s * B + r
+            rho_s, kap_s, w_s, keep_s = jax.lax.sort(
+                (rho, kap, w, keep_w), num_keys=1)
+            touched = rho_s < big
+            surv_s_a = kap_s // B
+            surv_r_a = kap_s - surv_s_a * B
+        else:
+            ow = jnp.where(es, s, big)
+            ot = jnp.where(es, r, big)
+            ow_s, ot_s, surv_s_a, surv_r_a, w_s, keep_s = jax.lax.sort(
+                (ow, ot, s, r, w, keep_w), num_keys=2)
+            touched = ow_s < big
 
         # the rho sort puts touched slots at the front, so the whole
         # sampling + routing phase runs on a half-cap static prefix;
@@ -179,12 +194,17 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         EC = max(cap // 2, 128)
         over_touch = jnp.any(touched[EC:])
         touched_e = touched[:EC]
-        rho_e = rho_s[:EC]
         w_e = w_s[:EC]
-        owner_col = jnp.where(touched_e, rho_e // B, n)
-        other = jnp.where(touched_e, rho_e - owner_col * B, n)
-
-        same = rho_e[1:] == rho_e[:-1]
+        if packed:
+            rho_e = rho_s[:EC]
+            owner_col = jnp.where(touched_e, rho_e // B, n)
+            other = jnp.where(touched_e, rho_e - owner_col * B, n)
+            same = rho_e[1:] == rho_e[:-1]
+        else:
+            owner_col = jnp.where(touched_e, ow_s[:EC], n)
+            other = jnp.where(touched_e, ot_s[:EC], n)
+            same = ((ow_s[1:EC] == ow_s[:EC - 1])
+                    & (ot_s[1:EC] == ot_s[:EC - 1])) & touched_e[1:]
         head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched_e
         is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched_e
         run_sum = _segmented_cumsum(w_e, head_run)
@@ -235,7 +255,6 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         dest = jnp.where(e_s < n,
                          jnp.minimum(e_s // block, num_shards - 1),
                          num_shards)
-        ekap = jnp.where(e_s < n, e_s * B + e_r, n * B + n)
         # bucket by destination with one local sort, then place each record
         # at (dest, rank-within-dest) in the exchange buffer. Emission
         # counts measured per round (tools/measure_dist_routing.py): a
@@ -247,44 +266,75 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         # shard) trips `over_route` and `eliminate_sharded` escalates by
         # re-running with doubled slack, which doubles cap_route too.
         cap_route = max(min(cap // max(4, 4 * num_shards), cap), 128)
-        dsort, ksort, wsort = jax.lax.sort((dest, ekap, e_w), num_keys=1)
         didx = jnp.arange(2 * EC, dtype=jnp.int32)
+        NBUF = num_shards * cap_route
+        if packed:
+            ekap = jnp.where(e_s < n, e_s * B + e_r, n * B + n)
+            dsort, ksort, wsort = jax.lax.sort((dest, ekap, e_w),
+                                               num_keys=1)
+        else:
+            dsort, essort, ersort, wsort = jax.lax.sort(
+                (dest, e_s, e_r, e_w), num_keys=1)
         dstart = jnp.searchsorted(dsort, jnp.arange(num_shards + 1,
                                                     dtype=jnp.int32),
                                   side="left").astype(jnp.int32)
         rank = didx - dstart[jnp.clip(dsort, 0, num_shards)]
         slot = jnp.where(dsort < num_shards,
                          dsort * cap_route + jnp.minimum(rank, cap_route - 1),
-                         num_shards * cap_route)
+                         NBUF)
         over_route = jnp.any((rank >= cap_route) & (dsort < num_shards))
-        # ONE all_to_all: key and weight ride together (weight bitcast to
-        # int32 lanes), halving the per-round collective barrier count
-        buf_k = jnp.full((num_shards * cap_route + 1,), n * B + n,
-                         jnp.int32).at[slot].set(ksort)[:-1]
-        buf_w = jnp.zeros((num_shards * cap_route + 1,),
-                          wdtype).at[slot].set(wsort)[:-1]
+        # ONE all_to_all: ids and weight ride together as int32 lanes
+        # (2 lanes packed, 3 beyond the packing bound), keeping one
+        # collective barrier per round
+        buf_w = jnp.zeros((NBUF + 1,), wdtype).at[slot].set(wsort)[:-1]
         buf_wi = jax.lax.bitcast_convert_type(
             buf_w.astype(jnp.float32), jnp.int32)
-        buf = jnp.stack([buf_k.reshape(num_shards, cap_route),
-                         buf_wi.reshape(num_shards, cap_route)], axis=1)
+        if packed:
+            buf_k = jnp.full((NBUF + 1,), n * B + n,
+                             jnp.int32).at[slot].set(ksort)[:-1]
+            lanes = [buf_k, buf_wi]
+        else:
+            buf_s = jnp.full((NBUF + 1,), n,
+                             jnp.int32).at[slot].set(essort)[:-1]
+            buf_r = jnp.full((NBUF + 1,), n,
+                             jnp.int32).at[slot].set(ersort)[:-1]
+            lanes = [buf_s, buf_r, buf_wi]
+        buf = jnp.stack([x.reshape(num_shards, cap_route) for x in lanes],
+                        axis=1)
         recv = jax.lax.all_to_all(buf, axis, split_axis=0, concat_axis=0,
                                   tiled=False)
-        recv_k = recv[:, 0, :].reshape(-1)
         recv_w = jax.lax.bitcast_convert_type(
-            recv[:, 1, :], jnp.float32).astype(wdtype).reshape(-1)
+            recv[:, len(lanes) - 1, :], jnp.float32).astype(
+                wdtype).reshape(-1)
 
         # ---- merge survivors + received, keep the cap lowest keys --------
-        surv_k = jnp.where(keep_s > 0, kap_s, n * B + n)
         surv_w = jnp.where(keep_s > 0, keep_s, zero_w)
-        all_k = jnp.concatenate([surv_k, recv_k])
-        all_w = jnp.concatenate([surv_w, recv_w])
-        all_k, all_w = jax.lax.sort((all_k, all_w), num_keys=1)
-        new_k = all_k[:cap]
-        new_w = all_w[:cap]
-        over_cap = jnp.any(all_k[cap:] < n * B + n)
-        s_new = new_k // B
-        r_new = new_k - s_new * B
-        w_new = jnp.where(s_new < n, new_w, zero_w)
+        if packed:
+            recv_k = recv[:, 0, :].reshape(-1)
+            surv_k = jnp.where(keep_s > 0, kap_s, n * B + n)
+            all_k = jnp.concatenate([surv_k, recv_k])
+            all_w = jnp.concatenate([surv_w, recv_w])
+            all_k, all_w = jax.lax.sort((all_k, all_w), num_keys=1)
+            new_k = all_k[:cap]
+            w_new = all_w[:cap]
+            over_cap = jnp.any(all_k[cap:] < n * B + n)
+            s_new = new_k // B
+            r_new = new_k - s_new * B
+        else:
+            recv_s = recv[:, 0, :].reshape(-1)
+            recv_r = recv[:, 1, :].reshape(-1)
+            surv_sk = jnp.where(keep_s > 0, surv_s_a, n)
+            surv_rk = jnp.where(keep_s > 0, surv_r_a, n)
+            all_s = jnp.concatenate([surv_sk, recv_s])
+            all_r = jnp.concatenate([surv_rk, recv_r])
+            all_w = jnp.concatenate([surv_w, recv_w])
+            all_s, all_r, all_w = jax.lax.sort((all_s, all_r, all_w),
+                                               num_keys=2)
+            s_new = all_s[:cap]
+            r_new = all_r[:cap]
+            w_new = all_w[:cap]
+            over_cap = jnp.any(all_s[cap:] < n)
+        w_new = jnp.where(s_new < n, w_new, zero_w)
 
         pending_next = pending & jnp.logical_not(elim)
         return dict(
@@ -349,8 +399,6 @@ def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
     if o_v not in ("random", "degree", "coarsen"):
         raise ValueError(f"unsupported o_v {o_v!r}")
     n = g.num_nodes
-    if n * (n + 2) >= _INT_MAX:
-        raise ValueError("sharded kernel requires n*(n+2) < 2^31")
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), n - 1)
     s, r, w, removed, _rounds, overflow = _eliminate_sharded_jit(
         g.senders, g.receivers, g.weights, key, t, n, mesh=mesh, axis=axis,

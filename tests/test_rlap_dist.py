@@ -138,3 +138,34 @@ class TestRoutingOverflow:
         assert (st["w"] > 0).all()
         fwd = set(zip(st["s"].tolist(), st["r"].tolist()))
         assert all((b, a) in fwd for a, b in fwd)
+
+
+class TestUnpackedKeys:
+    def test_large_n_beyond_packing_bound(self, mesh):
+        """n above the int32 (owner, other) packing bound (46341) rides
+        the two-key sort + 3-lane all_to_all path — the ogbn-arxiv-scale
+        configuration. Invariants: exact removal count, no overflow,
+        symmetric positive output, eliminated nodes absent, and total
+        output weight within a loose band of the single-chip kernel's
+        (both sample the same Schur-complement distribution)."""
+        n, t = 50000, 25000
+        g = barabasi_albert(n, 4, seed=5)
+        gp = partition_edges_by_sender(g, N_DEV)
+        out, removed, overflow = eliminate_sharded(
+            gp, jax.random.PRNGKey(7), t, mesh)
+        assert int(removed) == t
+        assert not bool(overflow)
+        gg = G.drop_zero_weight(G.coalesce(out))
+        m = np.asarray(gg.edge_mask)
+        s = np.asarray(gg.senders)[m]
+        r = np.asarray(gg.receivers)[m]
+        w = np.asarray(gg.weights)[m]
+        assert (w > 0).all()
+        fwd = set(zip(s.tolist(), r.tolist()))
+        assert all((b, a) in fwd for a, b in fwd)
+
+        ref, removed1, _ = eliminate(g, jax.random.PRNGKey(8), t)
+        assert int(removed1) == t
+        mr = np.asarray(ref.edge_mask)
+        wref = np.asarray(ref.weights)[mr].sum()
+        assert abs(w.sum() - wref) / wref < 0.1, (w.sum(), wref)
