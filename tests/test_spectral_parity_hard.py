@@ -247,3 +247,23 @@ def test_hub_graph_elimination_contract():
             assert wdeg[hub] == 0.0, (s, wdeg[hub])
         else:
             assert wdeg[hub] > 0.0, s
+
+
+@pytest.mark.parametrize("o_v,o_n", [("random", "asc"), ("random", "desc"),
+                                     ("degree", "random"),
+                                     ("coarsen", "random")])
+def test_mode_parity_restricted_prefix(o_v, o_n):
+    """Non-default modes at a size where the pool exceeds the stage floor:
+    o_v="random" rides the restricted selection prefix with the o_n tail
+    sort, and degree/coarsen (S = P by construction) still cross the
+    class-partitioned sort/orientation machinery at multi-stage sizes —
+    none of which the n<=1000 mode tests reach."""
+    g = er_graph(2000, 0.008, 33)
+    t = 1000
+    ks = np.mean([_kernel_stats(g, t, s, o_v, o_n) for s in range(4)],
+                 axis=0)
+    os_ = np.mean([_oracle_stats(g, t, s, o_v, o_n) for s in range(4)],
+                  axis=0)
+    for i, name in enumerate(("max_sv", "edges", "wsum")):
+        assert abs(ks[i] - os_[i]) / os_[i] < 0.15, (
+            o_v, o_n, name, ks[i], os_[i])

@@ -30,7 +30,20 @@ def main():
                   "the reference datasets' shape (zero-egress environment; "
                   "real files load via `$RLAP_TPU_DATA` when present) — "
                   "numbers demonstrate the training pipelines end to end, "
-                  "not published-benchmark parity."]
+                  "not published-benchmark parity. See DATA.md. Stand-in "
+                  "features are deliberately weakly class-informative, so "
+                  "accuracy measures structure learning; each node-recipe "
+                  "run logs a `raw_feature_baseline` (same linear-probe "
+                  "protocol on raw x) shown below — recipe accuracy minus "
+                  "this baseline is the representation lift."]
+        baselines = {}
+        for p in paths:
+            for rec in read_metrics(p, "raw_feature_baseline"):
+                baselines[rec.get("dataset")] = rec.get("accuracy")
+        if baselines:
+            lines += ["", "Raw-feature linear-probe baseline: "
+                      + ", ".join(f"{k}: {v:.4f}"
+                                  for k, v in sorted(baselines.items()))]
     lines += ["", "## By recipe", "",
               results_table(paths, metric="accuracy", row_key="recipe",
                             col_key="dataset"),
