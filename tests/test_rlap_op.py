@@ -180,3 +180,35 @@ def test_unpacked_large_n():
     _sym_invariants(out, n, t, removed)
     live = int(np.sum(np.asarray(out.senders) < n))
     assert live == 2 * (n - t)  # a ring's Schur complement is a ring
+
+
+def test_incremental_degree_exactness():
+    """Incremental degree maintenance (decrement touched copies,
+    increment emissions) must reproduce the per-round full recompute
+    BIT-EXACTLY: degrees drive the (deg, pos) selection priorities and
+    the budget trim, so any drift changes the elimination schedule.
+    Regression test for the bug where untouched pass-through slots in
+    the prefix were re-counted as emissions every round."""
+    import rlap_tpu.ops.rlap as R
+    from rlap_tpu.data.synthetic import barabasi_albert
+
+    g = barabasi_albert(2000, 8, seed=11)
+    outs = []
+    try:
+        for flag in (False, True):
+            R._RECOMPUTE_DEG = flag
+            R.eliminate.clear_cache()
+            res = []
+            for s in range(2):
+                out, removed, ovf = R.eliminate(
+                    g, jax.random.PRNGKey(s), 1000)
+                res.append((np.asarray(out.senders), np.asarray(out.weights),
+                            int(removed), bool(ovf)))
+            outs.append(res)
+    finally:
+        R._RECOMPUTE_DEG = False
+        R.eliminate.clear_cache()
+    for (s0, w0, r0, o0), (s1, w1, r1, o1) in zip(*outs):
+        assert r0 == r1 and o0 == o1
+        np.testing.assert_array_equal(s0, s1)
+        np.testing.assert_allclose(w0, w1, rtol=1e-6)
