@@ -74,6 +74,11 @@ class RandomChoice(Augmentor):
             g = self.augmentors[int(i)](g, jax.random.fold_in(key, j + 1))
         return g
 
+    def traceable(self, g: Graph, key: jax.Array) -> Graph:
+        raise NotImplementedError(
+            "RandomChoice selects its branch on the host; a single traced "
+            "program cannot represent it (per-branch memory differs)")
+
 
 class CachedAugmentor(Augmentor):
     """Wraps an augmentor with refresh-every-k-calls caching
@@ -93,3 +98,10 @@ class CachedAugmentor(Augmentor):
         self._cache = out
         self._count = 1
         return out
+
+    def traceable(self, g: Graph, key: jax.Array) -> Graph:
+        # the cache is a host-side wrapper; the compiled-memory footprint
+        # of interest is the underlying pipeline's
+        inner = self.inner
+        return (inner.traceable(g, key) if isinstance(inner, Augmentor)
+                else inner(g, key))

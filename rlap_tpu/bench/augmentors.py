@@ -44,8 +44,10 @@ def _peak_hbm(aug, g: Graph, key) -> Optional[Dict[str, int]]:
         return {"peak_hbm_bytes": arg + out + tmp,
                 "hbm_args_bytes": arg, "hbm_out_bytes": out,
                 "hbm_temp_bytes": tmp}
-    except Exception:  # noqa: BLE001 — analysis is best-effort
-        return None
+    except Exception as e:  # noqa: BLE001 — analysis is best-effort,
+        # but record WHY it is missing instead of failing silently
+        return {"peak_hbm_bytes": None,
+                "hbm_note": f"{type(e).__name__}: {str(e)[:120]}"}
 
 
 def bench_augmentor(aug, g: Graph, repeats: int = 10,

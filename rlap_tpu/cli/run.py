@@ -55,6 +55,10 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
                             tolerance=cfg.tolerance,
                             checkpoint_dir=checkpoint_dir,
                             checkpoint_every=checkpoint_every)
+            if not losses:
+                # resumed from a checkpoint that had already finished
+                # (final epoch or early stop): evaluate without training
+                losses = [float("nan")]
         elif cfg.recipe == "mvgrl":
             from rlap_tpu.models.mvgrl import MVGRLTrainer
 

@@ -104,7 +104,8 @@ class GraceTrainer:
             self.params = self.model.init(k, g1, g2)["params"]
             self.opt_state = self.tx.init(self.params)
 
-    def _ckpt_state(self, epoch: int, stopper: EarlyStopper):
+    def _ckpt_state(self, epoch: int, stopper: EarlyStopper,
+                    stopped: bool = False):
         import numpy as np
 
         best = stopper.best if np.isfinite(stopper.best) else 1e30
@@ -112,7 +113,8 @@ class GraceTrainer:
                     key=jnp.asarray(self.key),
                     epoch=jnp.asarray(epoch, jnp.int32),
                     best=jnp.asarray(best, jnp.float32),
-                    count=jnp.asarray(stopper.count, jnp.int32))
+                    count=jnp.asarray(stopper.count, jnp.int32),
+                    stopped=jnp.asarray(stopped, jnp.int32))
 
     def fit(self, g: Graph, max_epochs: int = 2000, tolerance: int = 50,
             verbose: bool = False, checkpoint_dir: Optional[str] = None,
@@ -140,6 +142,11 @@ class GraceTrainer:
                 stopper.best = float(state["best"])
                 stopper.count = int(state["count"])
                 start_epoch = int(state["epoch"]) + 1
+                if bool(int(state["stopped"])):
+                    # the recorded run already early-stopped: training
+                    # more epochs would diverge from the uninterrupted
+                    # run the resume contract promises to reproduce
+                    start_epoch = max_epochs
         losses = []
         for epoch in range(start_epoch, max_epochs):
             loss = self.train_epoch(g)
@@ -152,8 +159,10 @@ class GraceTrainer:
                     or (epoch + 1) % checkpoint_every == 0):
                 from rlap_tpu.utils.checkpoint import save_checkpoint
 
-                save_checkpoint(checkpoint_dir,
-                                self._ckpt_state(epoch, stopper), step=epoch)
+                save_checkpoint(
+                    checkpoint_dir,
+                    self._ckpt_state(epoch, stopper, stopped=stop),
+                    step=epoch)
             if stop:
                 break
         return losses

@@ -136,3 +136,31 @@ def test_grace_checkpoint_resume(node_data, tmp_path):
     res_flat = jax.tree_util.tree_leaves(t2.params)
     for a, b in zip(ref_flat, res_flat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+
+def test_grace_checkpoint_resume_after_stop(node_data, tmp_path):
+    """Resuming from a checkpoint whose run already early-stopped (or
+    finished) must NOT train further — fit returns [] and the model
+    state equals the stopped run's final state."""
+    from rlap_tpu.models.grace import GraceTrainer
+
+    g, y = node_data
+
+    def make():
+        a1 = Compose([EdgeRemoving(0.2), FeatureMasking(0.3)])
+        a2 = Compose([RLap(0.2), FeatureMasking(0.3)])
+        return GraceTrainer(a1, a2, hidden_dim=16, num_layers=2, seed=3)
+
+    ck = str(tmp_path / "ck")
+    t1 = make()
+    # tolerance 1 forces an early stop within a few epochs
+    part = t1.fit(g, max_epochs=50, tolerance=1,
+                  checkpoint_dir=ck, checkpoint_every=1000)
+    assert len(part) < 50  # stopped early; final state checkpointed
+    t2 = make()
+    rest = t2.fit(g, max_epochs=50, tolerance=1,
+                  checkpoint_dir=ck, checkpoint_every=1000)
+    assert rest == []
+    for a, b in zip(jax.tree_util.tree_leaves(t1.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
