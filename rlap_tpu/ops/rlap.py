@@ -428,14 +428,27 @@ def _eliminate_impl_fast(
 
             if do_compact:
                 # trim the set (cheapest prio first) so its touched edges
-                # — exactly sum deg(i) over the set — fit the prefix
-                prs, nodes = jax.lax.sort(
-                    (jnp.where(elim, prio, big), iota_n), num_keys=1)
-                cost = jnp.where(prs < big, deg[nodes], 0)
-                fits = (jnp.cumsum(cost) <= e_t) & (prs < big)
-                elim = jnp.zeros((n,), bool).at[nodes].max(fits)
-                overflow = overflow | ((prs[0] < big)
-                                       & jnp.logical_not(fits[0]))
+                # — exactly sum deg(i) over the set — fit the prefix. The
+                # n-sized sort only runs when the set actually exceeds
+                # the budget (early rounds); later rounds select small
+                # sets and skip it via lax.cond.
+                total_cost = jnp.sum(jnp.where(elim, deg, 0))
+
+                def run_trim():
+                    prs, nodes = jax.lax.sort(
+                        (jnp.where(elim, prio, big), iota_n), num_keys=1)
+                    cost = jnp.where(prs < big, deg[nodes], 0)
+                    fits = (jnp.cumsum(cost) <= e_t) & (prs < big)
+                    trimmed = jnp.zeros((n,), bool).at[nodes].max(fits)
+                    over = (prs[0] < big) & jnp.logical_not(fits[0])
+                    return trimmed, over
+
+                def no_trim():
+                    return elim, jnp.zeros((), bool)
+
+                elim, trim_over = jax.lax.cond(total_cost > e_t,
+                                               run_trim, no_trim)
+                overflow = overflow | trim_over
 
             b_count = jnp.sum(elim.astype(jnp.int32))
             elim_pad = jnp.concatenate([elim, f1])
