@@ -44,6 +44,13 @@ def main():
             lines += ["", "Raw-feature linear-probe baseline: "
                       + ", ".join(f"{k}: {v:.4f}"
                                   for k, v in sorted(baselines.items()))]
+        lines += ["", "Note: on unit-weight inputs the rLap o_n variants "
+                  "(asc/desc/random) can coincide exactly — every column "
+                  "weight ties, the ordering sorts are stable, and the "
+                  "augmentor drops sampled weights — so identical rows "
+                  "for rLapDegree{,Desc,Random} are genuine (verified: "
+                  "the modes produce distinct outputs on weighted "
+                  "graphs)."]
     lines += ["", "## By recipe", "",
               results_table(paths, metric="accuracy", row_key="recipe",
                             col_key="dataset"),

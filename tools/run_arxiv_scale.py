@@ -37,7 +37,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 169_343
+    # ogbn-arxiv has 169,343 nodes; round to the next multiple of the
+    # mesh width so the GCN's loop-augmented edge capacity
+    # (edge_capacity + n) stays divisible by the mesh axis
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 169_344
 
     from rlap_tpu.core import graph as G
     from rlap_tpu.data.synthetic import barabasi_albert
