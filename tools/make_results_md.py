@@ -51,6 +51,26 @@ def main():
                   "for rLapDegree{,Desc,Random} are genuine (verified: "
                   "the modes produce distinct outputs on weighted "
                   "graphs)."]
+    arxiv = os.path.join(rdir, "arxiv_scale_ccassg.jsonl")
+    if os.path.exists(arxiv):
+        import json
+
+        recs = [json.loads(x) for x in open(arxiv)]
+        if recs:
+            r0 = recs[0]
+            mean_s = sum(r["wall_seconds"] for r in recs) / len(recs)
+            lines += ["", "## ogbn-arxiv-scale sharded training",
+                      "",
+                      f"CCA-SSG-style step THROUGH the sharded path "
+                      f"(sender-partitioned graph, sharded rLap "
+                      f"augmentation on the two-key large-n kernel, "
+                      f"mesh SpMM) at n={r0['n']:,}, "
+                      f"{r0['directed_edges']:,} directed edges on "
+                      f"{r0['n_devices']} virtual CPU devices: "
+                      f"{mean_s:.0f} s/epoch mean over {len(recs)} "
+                      f"epochs, loss decreasing "
+                      f"({recs[0]['loss']} -> {recs[-1]['loss']}), no "
+                      f"capacity overflow. `tools/run_arxiv_scale.py`."]
     lines += ["", "## By recipe", "",
               results_table(paths, metric="accuracy", row_key="recipe",
                             col_key="dataset"),

@@ -61,7 +61,20 @@ def main():
     f = 128
     rng = np.random.default_rng(0)
     x = rng.normal(size=(n, f)).astype(np.float32) / np.sqrt(f)
-    g = g.replace(x=jnp.asarray(x))
+    # randomly relabel vertices: BA hubs have LOW ids, so contiguous
+    # sender blocks would be wildly imbalanced (measured 836k vs 153k
+    # edges/shard at this shape) — the skewed shard both wastes every
+    # static per-shard capacity and stalls eager collectives past the
+    # CPU rendezvous timeout. Relabeling balances blocks to ~E/P each.
+    perm = rng.permutation(n).astype(np.int32)
+    s0 = np.asarray(g.senders)
+    r0 = np.asarray(g.receivers)
+    live = s0 < n
+    g = g.replace(
+        senders=jnp.asarray(np.where(live, perm[np.minimum(s0, n - 1)], n)),
+        receivers=jnp.asarray(np.where(live, perm[np.minimum(r0, n - 1)],
+                                       n)),
+        x=jnp.asarray(x))
     e_live = int(np.asarray(g.edge_mask).sum())
     print(f"graph: n={n} directed_edges={e_live} "
           f"(built in {time.time() - t0:.1f}s)", flush=True)
@@ -88,8 +101,12 @@ def main():
             return z1, z2
 
     model = Enc()
-    params = jax.device_put(
-        model.init(jax.random.PRNGKey(0), g, g)["params"], repl)
+    with mesh:
+        # jit the init: eager shard_map would run each device's SpMM
+        # serially against the 20 s collective-rendezvous watchdog
+        params = jax.device_put(
+            jax.jit(model.init)(jax.random.PRNGKey(0), g, g)["params"],
+            repl)
     tx = torch_adam(1e-3, 0.0)
     opt_state = jax.device_put(tx.init(params), repl)
     num_remove = int(0.2 * n)
