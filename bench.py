@@ -99,6 +99,11 @@ def main():
         "value": round(eps),
         "unit": "edges/s",
         "vs_baseline": round(eps / base_eps, 3),
+        # context: the baseline is the sequential C++ oracle on THIS
+        # host right now (median of 5); it swings ~3x with host load
+        # while the TPU kernel stays within ~7%, so vs_baseline moves
+        # with the denominator — record it alongside
+        "oracle_edges_per_s": round(base_eps),
     }))
 
 
