@@ -85,7 +85,9 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
                                num_layers=cfg.num_layers, lr=cfg.lr,
                                weight_decay=cfg.weight_decay, lam=cfg.lam,
                                seed=cfg.seed)
-            losses = tr.fit(g, max_epochs=min(cfg.max_epochs, 100))
+            losses = tr.fit(g, max_epochs=min(cfg.max_epochs, 100),
+                            checkpoint_dir=checkpoint_dir,
+                            checkpoint_every=checkpoint_every)
 
         log.metric("final_loss", losses[-1], step=len(losses))
         log.metric("epochs", len(losses))

@@ -18,7 +18,7 @@ from flax import linen as nn
 
 from rlap_tpu.core import graph as G
 from rlap_tpu.core.graph import Graph
-from rlap_tpu.models.common import EarlyStopper, torch_adam
+from rlap_tpu.models.common import torch_adam
 from rlap_tpu.nn.gcn import GCNConv
 from rlap_tpu.objectives.cca import cca_ssg_loss, standardize
 
@@ -125,19 +125,25 @@ class CCASSGTrainer:
             self.params, self.opt_state, g1, g2)
         return float(loss)
 
+    def _ensure_init(self, g: Graph):
+        if self.params is None:
+            g1, g2 = self._views(g)
+            self.key, k = jax.random.split(self.key)
+            self.params = self.model.init(k, g1, g2)["params"]
+            self.opt_state = self.tx.init(self.params)
+
     def fit(self, g: Graph, max_epochs: int = 100, verbose: bool = False,
-            tolerance: int = 10**9) -> list:
-        # the reference runs a fixed epoch budget per dataset (run.sh)
-        losses = []
-        stopper = EarlyStopper(tolerance)
-        for epoch in range(max_epochs):
-            loss = self.train_epoch(g)
-            losses.append(loss)
-            if verbose and epoch % 10 == 0:
-                print(f"epoch {epoch}: loss {loss:.4f}")
-            if stopper.update(loss):
-                break
-        return losses
+            tolerance: int = 10**9, checkpoint_dir=None,
+            checkpoint_every: int = 100) -> list:
+        # the reference runs a fixed epoch budget per dataset (run.sh);
+        # checkpoint/resume is shared trainer capability (common.py)
+        from rlap_tpu.models.common import checkpointed_fit
+
+        return checkpointed_fit(self, g, max_epochs, tolerance,
+                                verbose=verbose,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_every=checkpoint_every,
+                                log_every=10)
 
     def embed(self, g: Graph) -> jax.Array:
         # eval on the clean graph with self-loops (main.py:131-150)

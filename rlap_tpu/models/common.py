@@ -55,3 +55,65 @@ def make_union_batches(graphs, batch_size: int, shuffle_seed: int = 0):
                                       edge_capacity=ecap)
         batches.append((batch, seg, len(chunk)))
     return batches
+
+
+def checkpointed_fit(trainer, g, max_epochs: int, tolerance: int,
+                     verbose: bool = False, checkpoint_dir=None,
+                     checkpoint_every: int = 100, log_every: int = 50):
+    """Shared fit loop with early stopping and optional orbax
+    checkpoint/resume. Trainer protocol: `train_epoch(g) -> float`,
+    `_ensure_init(g)`, and `params`/`opt_state`/`key` attributes. The
+    checkpoint carries params, opt state, the RNG key, and the
+    early-stop state (including whether the stop already fired, so a
+    resumed run never trains past the recorded stop) — a killed run
+    restarts where it left off and reproduces the uninterrupted run
+    exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    stopper = EarlyStopper(tolerance)
+
+    def state(epoch, stopped):
+        best = stopper.best if np.isfinite(stopper.best) else 1e30
+        return dict(params=trainer.params, opt_state=trainer.opt_state,
+                    key=jnp.asarray(trainer.key),
+                    epoch=jnp.asarray(epoch, jnp.int32),
+                    best=jnp.asarray(best, jnp.float32),
+                    count=jnp.asarray(stopper.count, jnp.int32),
+                    stopped=jnp.asarray(stopped, jnp.int32))
+
+    start_epoch = 0
+    if checkpoint_dir is not None:
+        from rlap_tpu.utils.checkpoint import (latest_step,
+                                               restore_checkpoint)
+
+        step = latest_step(checkpoint_dir)
+        if step is not None:
+            trainer._ensure_init(g)
+            st = restore_checkpoint(checkpoint_dir, state(0, False),
+                                    step=step)
+            trainer.params = st["params"]
+            trainer.opt_state = st["opt_state"]
+            trainer.key = jnp.asarray(st["key"])
+            stopper.best = float(st["best"])
+            stopper.count = int(st["count"])
+            start_epoch = int(st["epoch"]) + 1
+            if bool(int(st["stopped"])):
+                start_epoch = max_epochs  # run already finished
+
+    losses = []
+    for epoch in range(start_epoch, max_epochs):
+        loss = trainer.train_epoch(g)
+        losses.append(loss)
+        if verbose and epoch % log_every == 0:
+            print(f"epoch {epoch}: loss {loss:.4f}")
+        stop = stopper.update(loss)
+        if checkpoint_dir is not None and (
+                stop or epoch == max_epochs - 1
+                or (epoch + 1) % checkpoint_every == 0):
+            from rlap_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_dir, state(epoch, stop), step=epoch)
+        if stop:
+            break
+    return losses

@@ -22,7 +22,7 @@ import optax
 from flax import linen as nn
 
 from rlap_tpu.core.graph import Graph
-from rlap_tpu.models.common import EarlyStopper, torch_adam
+from rlap_tpu.models.common import torch_adam
 from rlap_tpu.nn.gcn import GCNEncoder, ProjectionHead
 from rlap_tpu.objectives.contrast import DualBranchContrast
 
@@ -104,18 +104,6 @@ class GraceTrainer:
             self.params = self.model.init(k, g1, g2)["params"]
             self.opt_state = self.tx.init(self.params)
 
-    def _ckpt_state(self, epoch: int, stopper: EarlyStopper,
-                    stopped: bool = False):
-        import numpy as np
-
-        best = stopper.best if np.isfinite(stopper.best) else 1e30
-        return dict(params=self.params, opt_state=self.opt_state,
-                    key=jnp.asarray(self.key),
-                    epoch=jnp.asarray(epoch, jnp.int32),
-                    best=jnp.asarray(best, jnp.float32),
-                    count=jnp.asarray(stopper.count, jnp.int32),
-                    stopped=jnp.asarray(stopped, jnp.int32))
-
     def fit(self, g: Graph, max_epochs: int = 2000, tolerance: int = 50,
             verbose: bool = False, checkpoint_dir: Optional[str] = None,
             checkpoint_every: int = 100) -> list:
@@ -125,47 +113,12 @@ class GraceTrainer:
         from the latest checkpoint if one exists — a killed 2000-epoch
         run restarts where it left off (new capability; the reference
         keeps no weights, SURVEY.md §5)."""
-        stopper = EarlyStopper(tolerance)
-        start_epoch = 0
-        if checkpoint_dir is not None:
-            from rlap_tpu.utils.checkpoint import (latest_step,
-                                                   restore_checkpoint)
+        from rlap_tpu.models.common import checkpointed_fit
 
-            step = latest_step(checkpoint_dir)
-            if step is not None:
-                self._ensure_init(g)
-                state = restore_checkpoint(
-                    checkpoint_dir, self._ckpt_state(0, stopper), step=step)
-                self.params = state["params"]
-                self.opt_state = state["opt_state"]
-                self.key = jnp.asarray(state["key"])
-                stopper.best = float(state["best"])
-                stopper.count = int(state["count"])
-                start_epoch = int(state["epoch"]) + 1
-                if bool(int(state["stopped"])):
-                    # the recorded run already early-stopped: training
-                    # more epochs would diverge from the uninterrupted
-                    # run the resume contract promises to reproduce
-                    start_epoch = max_epochs
-        losses = []
-        for epoch in range(start_epoch, max_epochs):
-            loss = self.train_epoch(g)
-            losses.append(loss)
-            if verbose and epoch % 50 == 0:
-                print(f"epoch {epoch}: loss {loss:.4f}")
-            stop = stopper.update(loss)
-            if checkpoint_dir is not None and (
-                    stop or epoch == max_epochs - 1
-                    or (epoch + 1) % checkpoint_every == 0):
-                from rlap_tpu.utils.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    checkpoint_dir,
-                    self._ckpt_state(epoch, stopper, stopped=stop),
-                    step=epoch)
-            if stop:
-                break
-        return losses
+        return checkpointed_fit(self, g, max_epochs, tolerance,
+                                verbose=verbose,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_every=checkpoint_every)
 
     def embed(self, g: Graph) -> jax.Array:
         return self.model.apply({"params": self.params}, g,

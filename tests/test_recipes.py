@@ -164,3 +164,33 @@ def test_grace_checkpoint_resume_after_stop(node_data, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(t1.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_cca_ssg_checkpoint_resume(node_data, tmp_path):
+    """The shared checkpointed_fit also serves CCA-SSG: kill-and-resume
+    reproduces the uninterrupted run exactly."""
+    from rlap_tpu.augment.cca_registry import make_cca_augmentor
+    from rlap_tpu.models.cca_ssg import CCASSGTrainer
+
+    g, y = node_data
+    g = g.replace(x=g.x)
+
+    def make():
+        aug = make_cca_augmentor("random", 0.2, 0.2)
+        return CCASSGTrainer(aug, hidden_dim=16, out_dim=16,
+                             num_layers=2, seed=5)
+
+    ref = make()
+    ref_losses = ref.fit(g, max_epochs=8)
+
+    ck = str(tmp_path / "ck")
+    t1 = make()
+    part = t1.fit(g, max_epochs=3, checkpoint_dir=ck, checkpoint_every=1)
+    t2 = make()
+    rest = t2.fit(g, max_epochs=8, checkpoint_dir=ck, checkpoint_every=1)
+    assert len(part) == 3 and len(rest) == 5
+    np.testing.assert_allclose(np.array(part + rest),
+                               np.array(ref_losses), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref.params),
+                    jax.tree_util.tree_leaves(t2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
