@@ -164,7 +164,7 @@ def _last_le_lookup(data_keys, query_keys):
     serialized e_cap-length gathers, the round body's dominant cost in
     round 1): ONE merge sort of data+queries, a forward-fill scan, and one
     unique-index scatter — ~5x cheaper at the bench size (measured in
-    tools/profile_rlap3.py).
+    tools/probe_access.py).
 
     data_keys / query_keys: tuples of equal-length key arrays, compared
     lexicographically; on a full tie the data item sorts first, so an
