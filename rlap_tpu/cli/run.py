@@ -55,10 +55,6 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
                             tolerance=cfg.tolerance,
                             checkpoint_dir=checkpoint_dir,
                             checkpoint_every=checkpoint_every)
-            if not losses:
-                # resumed from a checkpoint that had already finished
-                # (final epoch or early stop): evaluate without training
-                losses = [float("nan")]
         elif cfg.recipe == "mvgrl":
             from rlap_tpu.models.mvgrl import MVGRLTrainer
 
@@ -70,7 +66,9 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
                               num_layers=cfg.num_layers, lr=cfg.lr,
                               weight_decay=cfg.weight_decay, seed=cfg.seed)
             losses = tr.fit(g, max_epochs=cfg.max_epochs,
-                            tolerance=cfg.tolerance)
+                            tolerance=cfg.tolerance,
+                            checkpoint_dir=checkpoint_dir,
+                            checkpoint_every=checkpoint_every)
         else:
             from rlap_tpu.augment.cca_registry import make_cca_augmentor
             from rlap_tpu.models.cca_ssg import CCASSGTrainer
@@ -89,6 +87,11 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
                             checkpoint_dir=checkpoint_dir,
                             checkpoint_every=checkpoint_every)
 
+        if not losses:
+            # resumed from a checkpoint that had already finished (final
+            # epoch or early stop): evaluate without training — covers
+            # every checkpointed recipe branch
+            losses = [float("nan")]
         log.metric("final_loss", losses[-1], step=len(losses))
         log.metric("epochs", len(losses))
         # raw-feature control: the same linear-probe protocol on g.x
@@ -129,7 +132,11 @@ def run_one(cfg, results_dir=None, eval_repeats: int = 1,
                              num_layers=cfg.num_layers, lr=cfg.lr,
                              weight_decay=cfg.weight_decay, seed=cfg.seed)
         losses = tr.fit(graphs, max_epochs=min(cfg.max_epochs, 100),
-                        tolerance=cfg.tolerance)
+                        tolerance=cfg.tolerance,
+                        checkpoint_dir=checkpoint_dir,
+                        checkpoint_every=checkpoint_every)
+        if not losses:
+            losses = [float("nan")]
         log.metric("final_loss", losses[-1], step=len(losses))
         for rep in range(eval_repeats):
             res = tr.evaluate(graphs, y, seed=rep)
@@ -151,7 +158,7 @@ def main(argv=None):
     p.add_argument("--eval-repeats", type=int, default=1)
     p.add_argument("--checkpoint-dir", type=str, default=None,
                    help="save trainer state here every --checkpoint-every "
-                        "epochs and resume from it on restart (grace)")
+                        "epochs and resume from it on restart (all recipes)")
     p.add_argument("--checkpoint-every", type=int, default=100)
     p.add_argument("--sweep", action="store_true",
                    help="run the reference grid for --recipe")

@@ -240,13 +240,12 @@ def load_dataset(name: str, root: Optional[str] = None,
         warnings.warn(
             f"{name}: raw files not found under {root}; using a synthetic "
             f"SBM stand-in (n={n}, classes={c}, f={f})")
-        # noise 6.0 makes raw features only weakly class-informative
-        # (measured: a linear probe on x alone gets ~0.30 at the CORA
-        # stand-in shape vs ~0.94 at the old noise 0.6), so stand-in
-        # accuracy measures whether the recipe actually exploits
-        # STRUCTURE (the SBM homophily) — earlier stand-ins were nearly
-        # linearly separable from features alone and every recipe scored
-        # ~0.95+ regardless of augmentor
+        # noise 6.0 keeps raw features from saturating the probe
+        # (measured at the CORA stand-in shape: raw-x linear probe ~0.78
+        # vs ~0.94+ at the old noise 0.6), so stand-in accuracy measures
+        # whether the recipe exploits STRUCTURE (the SBM homophily) —
+        # earlier stand-ins were nearly linearly separable from features
+        # alone and every recipe scored ~0.95+ regardless of augmentor
         g, y = synthetic_node_dataset(n=n, num_classes=c, feature_dim=f,
                                       p_in=min(20.0 / n, 1.0),
                                       p_out=min(2.0 / n, 1.0), noise=6.0,

@@ -24,7 +24,7 @@ from flax import linen as nn
 
 from rlap_tpu.core import graph as G
 from rlap_tpu.core.graph import Graph
-from rlap_tpu.models.common import EarlyStopper, torch_adam
+from rlap_tpu.models.common import torch_adam
 from rlap_tpu.nn.gin import GINConv
 from rlap_tpu.nn.layers import MaskedBatchNorm, PReLU, global_add_pool
 from rlap_tpu.objectives.contrast import (bootstrap_latent,
@@ -164,7 +164,13 @@ class BGRLTrainer:
         self.batch_stats = variables.get("batch_stats", {})
         self.opt_state = self.tx.init(self.params)
 
-    def train_epoch(self, batches) -> float:
+    _ckpt_extra = ("target_params", "batch_stats")  # ride in checkpoints
+
+    def train_epoch(self, graphs: Sequence[Graph], epoch: int = 0) -> float:
+        from rlap_tpu.models.common import make_union_batches
+
+        batches = make_union_batches(graphs, self.batch_size,
+                                     shuffle_seed=epoch)
         total = 0.0
         for batch, seg, ng in batches:
             self.key, k1, k2, kr = jax.random.split(self.key, 4)
@@ -179,22 +185,26 @@ class BGRLTrainer:
             total += float(loss)
         return total
 
-    def fit(self, graphs: Sequence[Graph], max_epochs: int = 100,
-            tolerance: int = 20, verbose: bool = False) -> list:
+    def _ensure_init(self, graphs: Sequence[Graph]):
+        """Build the params/target/batch_stats pytree structure without
+        training (restored checkpoints overwrite the values)."""
         from rlap_tpu.models.common import make_union_batches
 
-        stopper = EarlyStopper(tolerance)
-        losses = []
-        for epoch in range(max_epochs):
-            batches = make_union_batches(graphs, self.batch_size,
-                                         shuffle_seed=epoch)
-            loss = self.train_epoch(batches)
-            losses.append(loss)
-            if verbose:
-                print(f"epoch {epoch}: loss {loss:.4f}")
-            if stopper.update(loss):
-                break
-        return losses
+        if self.params is None:
+            batch, seg, ng = make_union_batches(
+                graphs, self.batch_size, shuffle_seed=0)[0]
+            self.key, k1, k2, kr = jax.random.split(self.key, 4)
+            self._init(self.aug1(batch, k1), seg, ng)
+
+    def fit(self, graphs: Sequence[Graph], max_epochs: int = 100,
+            tolerance: int = 20, verbose: bool = False,
+            checkpoint_dir=None, checkpoint_every: int = 100) -> list:
+        from rlap_tpu.models.common import checkpointed_fit
+
+        return checkpointed_fit(self, graphs, max_epochs, tolerance,
+                                verbose=verbose,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_every=checkpoint_every)
 
     def embed_graphs(self, graphs: Sequence[Graph]) -> np.ndarray:
         """Eval embeds = concat[g1, g2] of the two *clean* views

@@ -61,26 +61,43 @@ def checkpointed_fit(trainer, g, max_epochs: int, tolerance: int,
                      verbose: bool = False, checkpoint_dir=None,
                      checkpoint_every: int = 100, log_every: int = 50):
     """Shared fit loop with early stopping and optional orbax
-    checkpoint/resume. Trainer protocol: `train_epoch(g) -> float`,
-    `_ensure_init(g)`, and `params`/`opt_state`/`key` attributes. The
+    checkpoint/resume. Trainer protocol: `train_epoch(g) -> float`
+    (or `train_epoch(g, epoch)` when per-epoch batch shuffling needs the
+    epoch index — detected by signature), `_ensure_init(g)`, and
+    `params`/`opt_state`/`key` attributes; trainers with additional
+    learned state (EMA targets, BatchNorm stats) list the attribute
+    names in `_ckpt_extra` and they ride in the checkpoint too. The
     checkpoint carries params, opt state, the RNG key, and the
     early-stop state (including whether the stop already fired, so a
     resumed run never trains past the recorded stop) — a killed run
     restarts where it left off and reproduces the uninterrupted run
     exactly."""
+    import inspect
+
     import jax.numpy as jnp
     import numpy as np
 
     stopper = EarlyStopper(tolerance)
+    extra_attrs = tuple(getattr(trainer, "_ckpt_extra", ()))
+    wants_epoch = "epoch" in inspect.signature(
+        trainer.train_epoch).parameters
+
+    def run_epoch(epoch):
+        if wants_epoch:
+            return trainer.train_epoch(g, epoch=epoch)
+        return trainer.train_epoch(g)
 
     def state(epoch, stopped):
         best = stopper.best if np.isfinite(stopper.best) else 1e30
-        return dict(params=trainer.params, opt_state=trainer.opt_state,
-                    key=jnp.asarray(trainer.key),
-                    epoch=jnp.asarray(epoch, jnp.int32),
-                    best=jnp.asarray(best, jnp.float32),
-                    count=jnp.asarray(stopper.count, jnp.int32),
-                    stopped=jnp.asarray(stopped, jnp.int32))
+        st = dict(params=trainer.params, opt_state=trainer.opt_state,
+                  key=jnp.asarray(trainer.key),
+                  epoch=jnp.asarray(epoch, jnp.int32),
+                  best=jnp.asarray(best, jnp.float32),
+                  count=jnp.asarray(stopper.count, jnp.int32),
+                  stopped=jnp.asarray(stopped, jnp.int32))
+        for name in extra_attrs:
+            st[name] = getattr(trainer, name)
+        return st
 
     start_epoch = 0
     if checkpoint_dir is not None:
@@ -95,6 +112,8 @@ def checkpointed_fit(trainer, g, max_epochs: int, tolerance: int,
             trainer.params = st["params"]
             trainer.opt_state = st["opt_state"]
             trainer.key = jnp.asarray(st["key"])
+            for name in extra_attrs:
+                setattr(trainer, name, st[name])
             stopper.best = float(st["best"])
             stopper.count = int(st["count"])
             start_epoch = int(st["epoch"]) + 1
@@ -103,7 +122,7 @@ def checkpointed_fit(trainer, g, max_epochs: int, tolerance: int,
 
     losses = []
     for epoch in range(start_epoch, max_epochs):
-        loss = trainer.train_epoch(g)
+        loss = run_epoch(epoch)
         losses.append(loss)
         if verbose and epoch % log_every == 0:
             print(f"epoch {epoch}: loss {loss:.4f}")

@@ -21,7 +21,7 @@ from flax import linen as nn
 
 from rlap_tpu.core import graph as G
 from rlap_tpu.core.graph import Graph
-from rlap_tpu.models.common import EarlyStopper, torch_adam
+from rlap_tpu.models.common import torch_adam
 from rlap_tpu.nn.gin import GINEncoder
 from rlap_tpu.nn.layers import MLP
 from rlap_tpu.objectives.contrast import DualBranchContrast
@@ -109,7 +109,10 @@ class GraphCLTrainer:
             node_mask=None if g.node_mask is None else jax.device_put(
                 g.node_mask, repl))
 
-    def train_epoch(self, batches) -> float:
+    _ckpt_extra = ("batch_stats",)  # rides in checkpoints (common.py)
+
+    def train_epoch(self, graphs: Sequence[Graph], epoch: int = 0) -> float:
+        batches = self.make_batches(graphs, shuffle_seed=epoch)
         total = 0.0
         for batch, seg, ng in batches:
             self.key, k1, k2 = jax.random.split(self.key, 3)
@@ -127,19 +130,28 @@ class GraphCLTrainer:
             total += float(loss)
         return total
 
+    def _ensure_init(self, graphs: Sequence[Graph]):
+        """Build the params/opt_state/batch_stats pytree structure without
+        training (restored checkpoints overwrite the values)."""
+        if self.params is None:
+            batch, seg, ng = self.make_batches(graphs, shuffle_seed=0)[0]
+            self.key, k1, k2 = jax.random.split(self.key, 3)
+            g1 = self._shard_batch(self.aug1(batch, k1))
+            self.key, k = jax.random.split(self.key)
+            variables = self.model.init(k, g1, seg, ng)
+            self.params = variables["params"]
+            self.batch_stats = variables.get("batch_stats", {})
+            self.opt_state = self.tx.init(self.params)
+
     def fit(self, graphs: Sequence[Graph], max_epochs: int = 100,
-            tolerance: int = 20, verbose: bool = False) -> list:
-        stopper = EarlyStopper(tolerance)
-        losses = []
-        for epoch in range(max_epochs):
-            batches = self.make_batches(graphs, shuffle_seed=epoch)
-            loss = self.train_epoch(batches)
-            losses.append(loss)
-            if verbose:
-                print(f"epoch {epoch}: loss {loss:.4f}")
-            if stopper.update(loss):
-                break
-        return losses
+            tolerance: int = 20, verbose: bool = False,
+            checkpoint_dir=None, checkpoint_every: int = 100) -> list:
+        from rlap_tpu.models.common import checkpointed_fit
+
+        return checkpointed_fit(self, graphs, max_epochs, tolerance,
+                                verbose=verbose,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_every=checkpoint_every)
 
     def embed_graphs(self, graphs: Sequence[Graph]) -> np.ndarray:
         """Clean-pass graph embeddings in dataset order (no augmentation,

@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from rlap_tpu.core import graph as G
 from rlap_tpu.core.graph import Graph
-from rlap_tpu.models.common import EarlyStopper, torch_adam
+from rlap_tpu.models.common import torch_adam
 from rlap_tpu.nn.gcn import GCNConv
 from rlap_tpu.objectives.contrast import DualBranchContrast
 
@@ -111,8 +111,15 @@ class MVGRLTrainer:
 
         return jax.jit(step)
 
-    def _views(self, g: Graph):
-        self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+    def _views(self, g: Graph, keys=None):
+        """Augmented view pair. With `keys=None` draws from (and advances)
+        the trainer's RNG stream — the training path; eval passes a pinned
+        key triple so repeated `embed` calls see the SAME views and eval
+        repeats measure split variance only, not augmentation noise."""
+        if keys is None:
+            self.key, k1, k2, k3 = jax.random.split(self.key, 4)
+        else:
+            k1, k2, k3 = keys
         g1 = self.aug1(g, k1)
         g2 = self.aug2(g, k2)
         if ("diffusion" in self.augmentor_name.lower()
@@ -143,21 +150,34 @@ class MVGRLTrainer:
             self.params, self.opt_state, g1, g2, kc)
         return float(loss)
 
-    def fit(self, g: Graph, max_epochs: int = 2000, tolerance: int = 50,
-            verbose: bool = False) -> list:
-        stopper = EarlyStopper(tolerance)
-        losses = []
-        for epoch in range(max_epochs):
-            loss = self.train_epoch(g)
-            losses.append(loss)
-            if verbose and epoch % 50 == 0:
-                print(f"epoch {epoch}: loss {loss:.4f}")
-            if stopper.update(loss):
-                break
-        return losses
+    def _ensure_init(self, g: Graph):
+        """Initialize params/opt_state without a train step (RNG use
+        mirrors train_epoch's first-call path)."""
+        if self.params is None:
+            g1, g2 = self._views(g)
+            self.key, kc = jax.random.split(self.key)
+            self.key, k = jax.random.split(self.key)
+            self.params = self.model.init(k, g1, g2, kc)["params"]
+            self.opt_state = self.tx.init(self.params)
 
-    def embed(self, g: Graph) -> jax.Array:
-        g1, g2 = self._views(g)
+    def fit(self, g: Graph, max_epochs: int = 2000, tolerance: int = 50,
+            verbose: bool = False, checkpoint_dir=None,
+            checkpoint_every: int = 100) -> list:
+        from rlap_tpu.models.common import checkpointed_fit
+
+        return checkpointed_fit(self, g, max_epochs, tolerance,
+                                verbose=verbose,
+                                checkpoint_dir=checkpoint_dir,
+                                checkpoint_every=checkpoint_every)
+
+    def embed(self, g: Graph, key=None) -> jax.Array:
+        """Evaluation embedding z1+z2 on an augmented view pair
+        (`node_dedicated.py:210-216`). The view keys are PINNED (derived
+        from `key`, default a fixed constant) so repeated calls embed the
+        same views — eval-repeat variance is split noise only."""
+        if key is None:
+            key = jax.random.PRNGKey(0x5EED)
+        g1, g2 = self._views(g, keys=jax.random.split(key, 3))
         return self.model.apply({"params": self.params}, g1, g2,
                                 method=MVGRL.embed)
 

@@ -40,8 +40,13 @@ def setup_compilation_cache(path: str | None = None) -> str:
             if os.path.isfile(src) and not os.path.exists(dst):
                 try:
                     shutil.copy2(src, dst)
-                except OSError:
-                    pass
+                except OSError as e:
+                    # a lost seed copy silently costs minutes of compile —
+                    # make the miss diagnosable
+                    import warnings
+                    warnings.warn(
+                        f"compile-cache seed entry {name!r} failed to copy "
+                        f"({e}); first call will compile from scratch")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -42,7 +42,7 @@ def test_grace_learns(node_data):
     assert res["accuracy"] > 0.4  # 4 classes, chance = 0.25
 
 
-def test_mvgrl_runs(node_data):
+def test_mvgrl_learns(node_data):
     from rlap_tpu.models.mvgrl import MVGRLTrainer
 
     g, y = node_data
@@ -50,10 +50,33 @@ def test_mvgrl_runs(node_data):
     a2 = Compose([RLap(0.2), FeatureMasking(0.3)])
     tr = MVGRLTrainer(a1, a2, augmentor_name="rLap", hidden_dim=32,
                       num_layers=2, lr=5e-3, seed=0)
-    losses = tr.fit(g, max_epochs=15, tolerance=15)
+    losses = tr.fit(g, max_epochs=25, tolerance=25)
     assert np.isfinite(losses).all()
+    # learning, not just running: the JSD objective must improve and the
+    # probe must beat the majority class (balanced 4-class SBM, ~0.25)
+    assert losses[-1] < losses[0]
     res = tr.evaluate(g, y)
-    assert res["accuracy"] > 0.3
+    majority = np.max(np.bincount(np.asarray(y))) / len(np.asarray(y))
+    assert res["accuracy"] > max(0.35, majority + 0.05)
+
+
+def test_mvgrl_embed_pinned(node_data):
+    """Repeated embed calls use pinned view keys: identical embeddings,
+    so eval-repeat variance is split noise only."""
+    from rlap_tpu.models.mvgrl import MVGRLTrainer
+
+    g, y = node_data
+    a1 = Compose([Identity(), FeatureMasking(0.3)])
+    a2 = Compose([RLap(0.2), FeatureMasking(0.3)])
+    tr = MVGRLTrainer(a1, a2, augmentor_name="rLap", hidden_dim=16,
+                      num_layers=2, seed=0)
+    tr.fit(g, max_epochs=2, tolerance=5)
+    z1 = np.asarray(tr.embed(g))
+    z2 = np.asarray(tr.embed(g))
+    np.testing.assert_allclose(z1, z2)
+    key = tr.key  # and embed must not consume the training RNG stream
+    np.asarray(tr.embed(g))
+    assert (np.asarray(key) == np.asarray(tr.key)).all()
 
 
 def test_graphcl_learns(graph_data):
@@ -70,7 +93,7 @@ def test_graphcl_learns(graph_data):
     assert res["accuracy"] > 0.5  # density-separable 2-class task
 
 
-def test_bgrl_runs(graph_data):
+def test_bgrl_learns(graph_data):
     from rlap_tpu.models.bgrl import BGRLTrainer
 
     graphs, y = graph_data
@@ -78,10 +101,49 @@ def test_bgrl_runs(graph_data):
     a2 = Compose([EdgeRemoving(0.2), FeatureMasking(0.3)])
     tr = BGRLTrainer(a1, a2, hidden_dim=16, num_layers=2, lr=1e-2,
                      batch_size=16, seed=0)
-    losses = tr.fit(graphs, max_epochs=5, tolerance=5)
+    losses = tr.fit(graphs, max_epochs=10, tolerance=10)
     assert np.isfinite(losses).all()
+    # learning, not just running: bootstrapped alignment must improve and
+    # the probe must beat the majority class on the density-separable task
+    assert losses[-1] < losses[0]
     res = tr.evaluate(graphs, y)
-    assert 0.0 <= res["accuracy"] <= 1.0
+    majority = np.max(np.bincount(np.asarray(y))) / len(np.asarray(y))
+    assert res["accuracy"] >= majority
+
+
+def test_bgrl_checkpoint_resume(graph_data, tmp_path):
+    """Kill-and-resume for a graph-task trainer with extra state: the
+    checkpoint carries the EMA target params and BatchNorm stats
+    (`_ckpt_extra`), so the resumed run reproduces the uninterrupted one
+    exactly."""
+    from rlap_tpu.models.bgrl import BGRLTrainer
+
+    graphs, y = graph_data
+
+    def make():
+        a1 = Compose([EdgeRemoving(0.2), FeatureMasking(0.3)])
+        a2 = Compose([RLap(0.2), FeatureMasking(0.3)])
+        return BGRLTrainer(a1, a2, hidden_dim=16, num_layers=2,
+                           batch_size=16, seed=7)
+
+    ref = make()
+    ref_losses = ref.fit(graphs, max_epochs=6, tolerance=50)
+
+    ck = str(tmp_path / "ck")
+    t1 = make()
+    part = t1.fit(graphs, max_epochs=3, tolerance=50,
+                  checkpoint_dir=ck, checkpoint_every=1)
+    t2 = make()  # fresh process stand-in
+    rest = t2.fit(graphs, max_epochs=6, tolerance=50,
+                  checkpoint_dir=ck, checkpoint_every=1)
+    assert len(part) == 3 and len(rest) == 3
+    np.testing.assert_allclose(np.array(part + rest),
+                               np.array(ref_losses), rtol=1e-4)
+    for name in ("params", "target_params"):
+        for a, b in zip(jax.tree_util.tree_leaves(getattr(ref, name)),
+                        jax.tree_util.tree_leaves(getattr(t2, name))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
 
 
 def test_cca_ssg_learns(node_data):
