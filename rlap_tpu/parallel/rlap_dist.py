@@ -48,8 +48,8 @@ from rlap_tpu.ops.rlap import (_INT_MAX, _last_le_lookup, _segmented_cumsum,
 
 
 def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
-                            axis: str, o_v: str, subiters: int,
-                            slack: int = 2):
+                            axis: str, o_v: str, o_n: str = "random",
+                            subiters: int = 3, slack: int = 2):
     """Per-shard body run under shard_map. s/r/w: the shard's local edges
     (senders all in this shard's node block). Returns local edge arrays of
     the Schur complement plus (removed, rounds, overflow) replicated
@@ -210,6 +210,23 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
         run_sum = _segmented_cumsum(w_e, head_run)
         v = jnp.where(is_tail, run_sum, zero_w)
 
+        if o_n in ("asc", "desc"):
+            # order each eliminated column by merged weight before the
+            # suffix-CDF pass (the o_n sort of compressColumn,
+            # preconditioner.cc:295-307) — same tail sort as the
+            # single-chip kernel (ops/rlap.py o_n branch); the sharded
+            # kernel drops all touched copies (emissions are routed, not
+            # written in place), so only (owner, other, v) need reorder
+            own_t = jnp.where(is_tail, owner_col, big)
+            o_key = v.astype(jnp.float32)
+            o_key = jnp.where(is_tail,
+                              o_key if o_n == "asc" else -o_key,
+                              jnp.asarray(jnp.inf, jnp.float32))
+            own_t, _, other, v = jax.lax.sort(
+                (own_t, o_key, other, v), num_keys=2)
+            owner_col = jnp.where(own_t < big, own_t, n)
+            is_tail = own_t < big
+
         hs = jnp.concatenate([t1, owner_col[1:] != owner_col[:-1]])
         cum = _segmented_cumsum(v, hs)
         csum = _segmented_maxscan_rev(cum, hs)
@@ -354,16 +371,17 @@ def _eliminate_local_rounds(s, r, w, key, t, *, n: int, num_shards: int,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "mesh", "axis", "o_v", "subiters",
-                                    "slack"))
+                   static_argnames=("n", "mesh", "axis", "o_v", "o_n",
+                                    "subiters", "slack"))
 def _eliminate_sharded_jit(senders, receivers, weights, key, t, n,
-                           mesh: Mesh, axis: str, o_v: str, subiters: int,
+                           mesh: Mesh, axis: str, o_v: str,
+                           o_n: str = "random", subiters: int = 3,
                            slack: int = 2):
     num_shards = mesh.shape[axis]
     fn = shard_map(
         functools.partial(_eliminate_local_rounds, n=int(n),
                           num_shards=num_shards, axis=axis, o_v=o_v,
-                          subiters=subiters, slack=slack),
+                          o_n=o_n, subiters=subiters, slack=slack),
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(), P(), P()),
@@ -373,12 +391,13 @@ def _eliminate_sharded_jit(senders, receivers, weights, key, t, n,
 
 def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
                       axis: str = "data", o_v: str = "random",
-                      subiters: int = 3, slack: int = 2,
-                      max_escalations: int = 0
+                      o_n: str = "random", subiters: int = 3,
+                      slack: int = 2, max_escalations: int = 0
                       ) -> Tuple[Graph, jax.Array, jax.Array]:
-    """Multi-chip `eliminate` (o_n="random" semantics). The graph's edge
-    arrays must be arranged by `partition_edges_by_sender(g, num_shards)` so
-    shard p's slice holds exactly the edges whose sender is in node block p.
+    """Multi-chip `eliminate` (all o_v x o_n modes, matching the
+    single-chip kernel). The graph's edge arrays must be arranged by
+    `partition_edges_by_sender(g, num_shards)` so shard p's slice holds
+    exactly the edges whose sender is in node block p.
 
     Returns (schur_graph, removed_count, overflow_flag). The output keeps
     the sender-block arrangement (each shard's slice still holds only edges
@@ -398,18 +417,22 @@ def eliminate_sharded(g: Graph, key: jax.Array, num_remove, mesh: Mesh,
     """
     if o_v not in ("random", "degree", "coarsen"):
         raise ValueError(f"unsupported o_v {o_v!r}")
+    if o_n not in ("asc", "desc", "random"):
+        raise ValueError(f"unsupported o_n {o_n!r}")
+    if o_v == "coarsen":
+        o_n = "random"  # CoarseningPreconditioner forces o_n (cc:830-833)
     n = g.num_nodes
     t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), n - 1)
     s, r, w, removed, _rounds, overflow = _eliminate_sharded_jit(
         g.senders, g.receivers, g.weights, key, t, n, mesh=mesh, axis=axis,
-        o_v=o_v, subiters=subiters, slack=slack)
+        o_v=o_v, o_n=o_n, subiters=subiters, slack=slack)
     for _ in range(max_escalations):
         if not bool(jax.device_get(overflow)):
             break
         slack *= 2
         s, r, w, removed, _rounds, overflow = _eliminate_sharded_jit(
             g.senders, g.receivers, g.weights, key, t, n, mesh=mesh,
-            axis=axis, o_v=o_v, subiters=subiters, slack=slack)
+            axis=axis, o_v=o_v, o_n=o_n, subiters=subiters, slack=slack)
     out = Graph(senders=s, receivers=r, weights=w, num_nodes=n, x=g.x,
                 node_mask=g.node_mask)
     return out, removed, overflow

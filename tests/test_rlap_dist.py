@@ -94,6 +94,40 @@ class TestShardedParity:
         gg = G.drop_zero_weight(G.coalesce(out))
         assert int(gg.num_edges) > 0
 
+    def test_all_mode_combinations_parity(self, mesh):
+        """All 9 (o_v, o_n) combos run sharded at n=512 and match the
+        single-chip kernel in spectral expectation (VERDICT r4 item 6).
+        o_n orders each eliminated column before the suffix-CDF pass
+        (`preconditioner.cc:295-307`); coarsen forces o_n="random" in
+        both kernels (cc:830-833)."""
+        n, t = 512, 256
+        g = barabasi_albert(n, 4, seed=2)
+        gp = partition_edges_by_sender(g, N_DEV)
+        seeds = 3
+        for o_v in ("random", "degree", "coarsen"):
+            for o_n in ("asc", "desc", "random"):
+                sh, sd = [], []
+                for seed in range(seeds):
+                    key = jax.random.PRNGKey(100 + seed)
+                    out, removed, overflow = eliminate_sharded(
+                        gp, key, t, mesh, o_v=o_v, o_n=o_n)
+                    assert int(removed) == t, (o_v, o_n)
+                    assert not bool(overflow), (o_v, o_n)
+                    st = _stats(out)
+                    fwd = set(zip(st["s"].tolist(), st["r"].tolist()))
+                    assert all((b, a) in fwd for a, b in fwd), (o_v, o_n)
+                    assert (st["w"] > 0).all(), (o_v, o_n)
+                    sh.append(st)
+                    out1, removed1, _ = eliminate(g, key, t, o_v=o_v,
+                                                  o_n=o_n)
+                    assert int(removed1) == t, (o_v, o_n)
+                    sd.append(_stats(out1))
+                mean = lambda xs, k: float(np.mean([x[k] for x in xs]))
+                assert mean(sh, "wsum") == pytest.approx(
+                    mean(sd, "wsum"), rel=0.12), (o_v, o_n)
+                assert mean(sh, "max_sv") == pytest.approx(
+                    mean(sd, "max_sv"), rel=0.12), (o_v, o_n)
+
     def test_degree_and_coarsen_modes(self, mesh):
         n, t = 256, 128
         g = barabasi_albert(n, 4, seed=1)
