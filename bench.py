@@ -94,6 +94,18 @@ def main():
     log(f"kernel: {dt * 1e3:.1f} ms/call -> {eps:,.0f} edges/s "
         f"(removed {int(removed)}/{t})")
 
+    # --- speed-of-light model (access-pattern roofline) ------------------
+    # minimum wall time for this kernel's op schedule at exactly the
+    # elements each op must touch, priced at the measured on-chip
+    # primitive costs — see rlap_tpu/bench/roofline.py. The fraction says
+    # how close the static-prefix kernel gets to its own ceiling.
+    from rlap_tpu.bench.roofline import roofline_ms
+
+    model_ms, model = roofline_ms(n, m=m, frac=frac, seed=0)
+    log(f"roofline (speed-of-light model): {model_ms:.1f} ms "
+        f"({model['rounds']} rounds; breakdown "
+        f"{ {k: round(v, 1) for k, v in model['breakdown_ms'].items()} })")
+
     print(json.dumps({
         "metric": "rlap_edges_per_s",
         "value": round(eps),
@@ -104,6 +116,10 @@ def main():
         # while the TPU kernel stays within ~7%, so vs_baseline moves
         # with the denominator — record it alongside
         "oracle_edges_per_s": round(base_eps),
+        # fraction of the kernel's own access-pattern speed of light
+        # (measured primitive costs x necessary element counts)
+        "roofline_fraction": round(model_ms / (dt * 1e3), 3),
+        "roofline_ms": round(model_ms, 1),
     }))
 
 

@@ -51,3 +51,45 @@ class RLap(Augmentor):
             out = out.replace(
                 weights=out.edge_mask.astype(out.weights.dtype))
         return out
+
+
+class PairedRLap:
+    """Both GCL views in ONE jitted elimination call (`eliminate_pair`):
+    shared entry canonicalization + one dispatch, each view's stream
+    byte-identical to a single `RLap` call. Optionally applies the
+    standard FeatureMasking(pf) to each view (the registry always pairs a
+    topology augmentor with feature masking, `node_shared.py:330-487`).
+
+    Callable as `pair(g, key) -> (g1, g2)` — the `pair_augmentor`
+    protocol of `GraceTrainer`/`CCASSGTrainer`-style recipes.
+    """
+
+    def __init__(self, frac: float, pf: float = 0.3, o_v: str = "random",
+                 o_n: str = "asc", keep_weights: bool = False):
+        self.frac = frac
+        self.pf = pf
+        self.o_v = o_v
+        self.o_n = o_n
+        self.keep_weights = keep_weights
+
+    def __call__(self, g: Graph, key: jax.Array):
+        from rlap_tpu.augment.feature import mask_feature_dims
+        from rlap_tpu.ops.rlap import eliminate_pair
+
+        ke, k1, k2 = jax.random.split(key, 3)
+        num_remove = int(self.frac * g.num_nodes)
+        (o1, _r1, ov1), (o2, _r2, ov2) = eliminate_pair(
+            g, ke, num_remove, o_v=self.o_v, o_n=self.o_n)
+        if bool(ov1) or bool(ov2):
+            # same escalation as approximate_cholesky: budgeting off
+            (o1, _r1, _), (o2, _r2, _) = eliminate_pair(
+                g, ke, num_remove, o_v=self.o_v, o_n=self.o_n,
+                compact=False)
+        outs = []
+        for o, kf in ((o1, k1), (o2, k2)):
+            if not self.keep_weights:
+                o = o.replace(weights=o.edge_mask.astype(o.weights.dtype))
+            if self.pf and o.x is not None:
+                o = o.replace(x=mask_feature_dims(o.x, kf, self.pf))
+            outs.append(o)
+        return tuple(outs)

@@ -48,17 +48,23 @@ class GRACE(nn.Module):
 
 
 class GraceTrainer:
-    def __init__(self, aug1, aug2, hidden_dim: int = 128,
+    def __init__(self, aug1=None, aug2=None, hidden_dim: int = 128,
                  num_layers: int = 2, lr: float = 1e-3,
                  weight_decay: float = 1e-5, tau: float = 0.2,
                  block_size: int = 1024, seed: int = 0,
-                 loss: str = "auto", mesh=None):
+                 loss: str = "auto", mesh=None, pair_augmentor=None):
+        """`pair_augmentor`: optional `(g, key) -> (g1, g2)` producing both
+        views in one call (e.g. `augment.rlap.PairedRLap`, which shares
+        the elimination entry across views); overrides aug1/aug2."""
         if loss == "auto":
             # the fused Pallas InfoNCE keeps every similarity tile in VMEM;
             # on other backends fall back to the lax.map row-blocked form
             loss = ("infonce_fused" if jax.default_backend() == "tpu"
                     else "infonce_batched")
         self.aug1, self.aug2 = aug1, aug2
+        self.pair_augmentor = pair_augmentor
+        if pair_augmentor is None and (aug1 is None or aug2 is None):
+            raise ValueError("pass aug1+aug2 or pair_augmentor")
         self.model = GRACE(hidden_dim, num_layers, hidden_dim, mesh=mesh)
         self.mesh = mesh
         self.tx = torch_adam(lr, weight_decay)
@@ -82,6 +88,9 @@ class GraceTrainer:
         return jax.jit(step)
 
     def _views(self, g: Graph):
+        if self.pair_augmentor is not None:
+            self.key, k = jax.random.split(self.key)
+            return self.pair_augmentor(g, k)
         self.key, k1, k2 = jax.random.split(self.key, 3)
         return self.aug1(g, k1), self.aug2(g, k2)
 

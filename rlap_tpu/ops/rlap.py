@@ -245,16 +245,20 @@ def _eliminate_impl_fast(
       [touched][cls1][cls2][cls3] so the next round's selection prefix
       and es/er split are positional, and (c) replaces the old
       stage-transition packing sort — a stage exits by slicing.
-    * **Selection prefix.** Luby sub-rounds (strict (degree, pos) minima,
-      packed gather + scatter-min per sub-round) run on [0, S),
-      S = e_t + B_cap: last round's emissions plus the cls1 block. A
-      round where the cls1 block could overflow S raises `overflow` and
-      the caller escalates to the uncapped path.
-    * **Split es/er.** Beyond S only cls2/cls3 slots remain; cls2 slots
-      store their pending endpoint first, so the eliminated-endpoint
-      lookup gathers both endpoints on [0, S) but only `s` on [S, P)
-      (elim is a subset of pending, so the non-pending side is never
-      eliminated).
+    * **cls1-range selection with a level ladder.** Luby blocking only
+      flows through candidate-candidate (cls1) edges, and a small
+      end-of-round prefix class-pack keeps cls1 confined to two ranges
+      ([0, c1p) of the packed prefix plus the untouched tail block
+      [e_t, pos1)). Each round's Luby sub-rounds (strict (degree, pos)
+      minima, packed gather + scatter-min per sub-round) run on the
+      smallest static level (A1, A2) covering those ranges, picked by
+      one lax.switch — cls1 mass collapses quadratically as pending
+      drains, so selection cost collapses with it. A round no level
+      covers falls back to the full prefix (exact, never a cap).
+    * **Ranged es/er.** A slot's receiver can only be eliminated when
+      the slot is cls1 (cls2 stores its pending endpoint first and elim
+      is a subset of pending), so the r-side gather runs only on the two
+      cls1 ranges; the s-side gather covers the prefix.
     * **Incremental degrees.** Degrees (duplicate copies counted, like
       the reference's lazily-decremented PQ) are carried and updated from
       the touched prefix only: each touched copy decrements both
@@ -350,7 +354,8 @@ def _eliminate_impl_fast(
     n1_0 = jnp.sum((cls_arr == 1).astype(jnp.int32))
     n2_0 = jnp.sum((cls_arr == 2).astype(jnp.int32))
 
-    def make_stage(P: int, e_t: int, S: int, next_P, sub: int):
+    def make_stage(P: int, e_t: int, levels: Tuple[Tuple[int, int], ...],
+                   et_levels: Tuple[int, ...], next_P, sub: int):
         do_compact = e_t < P
 
         def cond(st):
@@ -379,16 +384,29 @@ def _eliminate_impl_fast(
                 prio = jnp.minimum(deg, dclamp) * (n + 1) + pos
 
             # ---- Luby selection -----------------------------------------
-            # Runs on the restricted prefix [0, SS): exact iff every
-            # candidate-candidate (cls1) edge lies inside it — `pos1`, the
-            # exact end position of the last cls1 slot, certifies that.
-            # When the cls1 block has outgrown S (dense hubby graphs can
-            # genuinely concentrate both-pending mass), the round falls
-            # back to the full prefix via lax.cond, so the restriction is
-            # a pure optimization, never a correctness cap.
-            def selection(SS):
+            # Blocking only ever flows through candidate-candidate (cls1)
+            # edges (a non-candidate neighbor contributes pack=+inf), so
+            # selection is exact over ANY slot superset of the cls1 set.
+            # The end-of-round prefix class-pack keeps cls1 confined to
+            # two ranges [0, c1p) and [r2s, r2e) whose sizes collapse
+            # quadratically as pending drains; each round picks the
+            # smallest static level (A1, A2) covering them via one
+            # lax.switch. When no level covers (dense hubby graphs can
+            # genuinely concentrate both-pending mass), the fallback runs
+            # on the full prefix — the restriction is a pure
+            # optimization, never a correctness cap.
+            c1p, r2s, r2e = st["c1p"], st["r2s"], st["r2e"]
+
+            def sel_ranges(A1, A2):
                 def run():
-                    sS, rS = s[:SS], r[:SS]
+                    if A2 > 0:
+                        start2 = jnp.clip(r2s, 0, max(P - A2, 0))
+                        s2 = jax.lax.dynamic_slice(s, (start2,), (A2,))
+                        r2 = jax.lax.dynamic_slice(r, (start2,), (A2,))
+                        sS = jnp.concatenate([s[:A1], s2])
+                        rS = jnp.concatenate([r[:A1], r2])
+                    else:
+                        sS, rS = s[:A1], r[:A1]
                     liveS = sS < n
                     srS = jnp.concatenate([sS, rS])
                     rsS = jnp.concatenate([rS, sS])
@@ -410,12 +428,17 @@ def _eliminate_impl_fast(
                     return elim
                 return run
 
-            if S < P:
-                fits_S = st["pos1"] <= S
-                elim = jax.lax.cond(fits_S, selection(S), selection(P))
+            if levels:
+                fits = [(c1p <= A1) & ((r2e - r2s) <= A2)
+                        for (A1, A2) in levels]  # ascending, nested
+                lvl = sum(jnp.logical_not(f).astype(jnp.int32)
+                          for f in fits)
+                branches = ([sel_ranges(A1, A2) for (A1, A2) in levels]
+                            + [sel_ranges(P, 0)])
+                elim = jax.lax.switch(lvl, branches)
             else:
-                fits_S = jnp.ones((), bool)
-                elim = selection(P)()
+                lvl = None
+                elim = sel_ranges(P, 0)()
             overflow = st["overflow"]
 
             if o_v != "random":
@@ -453,31 +476,39 @@ def _eliminate_impl_fast(
             b_count = jnp.sum(elim.astype(jnp.int32))
             elim_pad = jnp.concatenate([elim, f1])
 
-            # ---- es/er: when the cls1 invariant holds, gather both
-            # endpoints on [0, S) but only `s` on [S, P) — beyond S only
-            # cls2 (pending endpoint stored first) and cls3 slots remain,
-            # and elim subset-of pending makes their r-side False by
-            # construction. Falls back to the full two-sided gather in
-            # the same rounds selection does. -----------------------------
+            # ---- es/er: the r-side of a slot can only be eliminated when
+            # the slot is cls1 (cls2 stores its pending endpoint first and
+            # elim is a subset of pending), so the receiver-side gather is
+            # needed only on the two cls1 ranges; the sender-side gather
+            # covers the whole prefix. Same level index as selection; the
+            # fallback is the full two-sided gather. ----------------------
             live_p = s < n
 
-            def esr_split():
-                sr2 = jnp.concatenate([s[:S], r[:S]])
-                e2S = elim_pad[sr2] & jnp.concatenate(
-                    [live_p[:S], live_p[:S]])
-                sT = s[S:]
-                esT = elim_pad[sT] & (sT < n)
-                return (jnp.concatenate([e2S[:S], esT]),
-                        jnp.concatenate([e2S[S:],
-                                         jnp.zeros((P - S,), bool)]))
+            def esr_ranges(A1, A2):
+                def run():
+                    es_ = elim_pad[s] & live_p
+                    er1 = elim_pad[r[:A1]] & live_p[:A1]
+                    er_ = jnp.concatenate(
+                        [er1, jnp.zeros((P - A1,), bool)])
+                    if A2 > 0:
+                        start2 = jnp.clip(r2s, 0, max(P - A2, 0))
+                        r2 = jax.lax.dynamic_slice(r, (start2,), (A2,))
+                        l2 = jax.lax.dynamic_slice(live_p, (start2,),
+                                                   (A2,))
+                        er_ = jax.lax.dynamic_update_slice(
+                            er_, elim_pad[r2] & l2, (start2,))
+                    return es_, er_
+                return run
 
             def esr_full():
                 sr2 = jnp.concatenate([s, r])
                 e2 = elim_pad[sr2] & jnp.concatenate([live_p, live_p])
                 return e2[:P], e2[P:]
 
-            if S < P:
-                es, er = jax.lax.cond(fits_S, esr_split, esr_full)
+            if levels:
+                es, er = jax.lax.switch(
+                    lvl, [esr_ranges(A1, A2) for (A1, A2) in levels]
+                    + [esr_full])
             else:
                 es, er = esr_full()
 
@@ -489,161 +520,225 @@ def _eliminate_impl_fast(
                                 jnp.where(er, r * B + s, base - 1 + cls))
                 kap = s * B + r
                 rho, kap, w = jax.lax.sort((rho, kap, w), num_keys=1)
-                kap_t = kap[e_t:]
-                ks_t = kap_t // B
-                kr_t = kap_t - ks_t * B
-                cls_tail = rho[e_t:] - (base - 1)  # [e_t:) is all untouched
-                rho_p, kap_p, w_p = rho[:e_t], kap[:e_t], w[:e_t]
-                touched = rho_p < base
-                owner = jnp.where(touched, rho_p // B, n)
-                other = jnp.where(touched, rho_p - owner * B, n)
-                ks = kap_p // B
-                kr = kap_p - ks * B
-                same = rho_p[1:] == rho_p[:-1]
             else:
                 ow_a = jnp.where(es, s, jnp.where(er, r, n + cls))
                 ot_a = jnp.where(es, r, jnp.where(er, s, 0))
                 ow_a, ot_a, sq, rq, w = jax.lax.sort(
                     (ow_a, ot_a, s, r, w), num_keys=2)
-                ks_t, kr_t = sq[e_t:], rq[e_t:]
-                cls_tail = ow_a[e_t:] - n
-                w_p = w[:e_t]
-                touched = ow_a[:e_t] < n
-                owner = jnp.where(touched, ow_a[:e_t], n)
-                other = jnp.where(touched, ot_a[:e_t], n)
-                ks, kr = sq[:e_t], rq[:e_t]
-                same = ((owner[1:] == owner[:-1])
-                        & (other[1:] == other[:-1])) & touched[1:]
-            w_t = w[e_t:]
 
-            # degree decrement indices: every touched copy's original
-            # endpoints, captured before the o_n tail sort pads them
-            dec_s = jnp.where(touched, ks, n)
-            dec_r = jnp.where(touched, kr, n)
-
-            # ---- runs: duplicate copies of one pair share a key ----------
-            head_run = jnp.concatenate([t1, jnp.logical_not(same)]) & touched
-            is_tail = jnp.concatenate([jnp.logical_not(same), t1]) & touched
-            run_sum = _segmented_cumsum(w_p, head_run)
-            v = jnp.where(is_tail, run_sum, zero_w)  # column weight v_ij
-
-            if o_n in ("asc", "desc"):
-                # order each eliminated column by weight before the
-                # suffix-CDF pass (compressColumn's sort, cc:295-307)
-                pad_mask = touched & jnp.logical_not(is_tail)
-                ks = jnp.where(pad_mask, n, ks)
-                kr = jnp.where(pad_mask, n, kr)
-                w_p = jnp.where(pad_mask, zero_w, w_p)
-                own_t = jnp.where(is_tail, owner, big)
-                o_key = v.astype(jnp.float32)
-                o_key = jnp.where(is_tail,
-                                  o_key if o_n == "asc" else -o_key,
-                                  jnp.asarray(jnp.inf, jnp.float32))
-                own_t, _, other, v, ks, kr, w_p = jax.lax.sort(
-                    (own_t, o_key, other, v, ks, kr, w_p), num_keys=2)
-                owner = jnp.where(own_t < big, own_t, n)
-                touched = own_t < big
-                is_tail = touched
-
-            # ---- suffix-CDF sampling over run tails per owner column -----
-            hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
-            cum = _segmented_cumsum(v, hs)
-            csum = _segmented_maxscan_rev(cum, hs)
-            suffix = csum - cum
-
-            if o_v == "coarsen":
-                # one partner per whole column ~ v_k/csum; every other
-                # neighbor rewires onto it with harmonic weights
-                # (preconditioner.cc:866-912)
-                eu = jnp.maximum(
-                    jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
-                    jnp.asarray(1e-12, jnp.float32))
-                race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
-                    v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
-                                                               jnp.float32))
-                _, race_o, race_v = _segmented_race_rev(race_x, other, v, hs)
-                partner = _segmented_headscan(jnp.where(hs, race_o, 0), hs)
-                w_k = _segmented_headscan(jnp.where(hs, race_v, zero_w), hs)
-                emit = is_tail & (csum > 0) & (other != partner)
-                denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
-                wnew = jnp.where(emit, v * w_k / denom, zero_w)
-            elif sampler == "race":
-                eu = jnp.maximum(
-                    jax.random.uniform(rkey, (e_t,), dtype=jnp.float32),
-                    jnp.asarray(1e-12, jnp.float32))
-                race_x = jnp.where(is_tail, -jnp.log(eu) / jnp.maximum(
-                    v.astype(jnp.float32), 1e-30), jnp.asarray(jnp.inf,
-                                                               jnp.float32))
-                _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
-                partner = jnp.concatenate([race_o[1:],
-                                           jnp.full((1,), n, jnp.int32)])
-                emit = is_tail & (suffix > 0)
-                csafe = jnp.where(csum > 0, csum, 1.0)
-                wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-            else:
-                # independent per-neighbor inverse-CDF draws, located by
-                # one merge-based rank lookup (first tail with cum > rv)
-                u = jax.random.uniform(rkey, (e_t,),
-                                       dtype=jnp.float32).astype(wdtype)
-                rv = cum + u * suffix
-                rv = jnp.minimum(rv, jnp.nextafter(csum,
-                                                   jnp.zeros_like(csum)))
-                emit = is_tail & (suffix > 0)
-                q = _last_le_lookup(
-                    (owner, cum),
-                    (jnp.where(emit, owner, n + 1),
-                     jnp.where(emit, rv, zero_w))) + 1
-                q = jnp.clip(q, 0, e_t - 1)
-                partner = other[q]
-                csafe = jnp.where(csum > 0, csum, 1.0)
-                wnew = jnp.where(emit, v * suffix / csafe, zero_w)
-
-            # ---- write-back: each emitting run tail overwrites its own
-            # slot; other touched slots retire to padding -----------------
-            can_s = jnp.minimum(other, partner)
-            can_r = jnp.maximum(other, partner)
-            s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
-            r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
-            w_new = jnp.where(touched, jnp.where(emit, wnew, zero_w), w_p)
-
-            # ---- classify + orient the prefix, update degrees ------------
             pending_next = pending & jnp.logical_not(elim)
-            pnp = jnp.concatenate([pending_next, f1])
-            live_new = s_new < n
-            psn = pnp[s_new]
-            prn = pnp[r_new]
-            cls_p = jnp.where(live_new & psn & prn, 1,
-                              jnp.where(live_new & (psn | prn), 2, 3)
-                              ).astype(jnp.int32)
-            flip = (cls_p == 2) & prn
-            s_fin = jnp.where(flip, r_new, s_new)
-            r_fin = jnp.where(flip, s_new, r_new)
-            cls_next = jnp.concatenate([cls_p, cls_tail])
 
-            one_m = jnp.ones((e_t,), jnp.int32)
-            # increments: only touched slots hold NEW edges (emissions);
-            # untouched pass-through slots in the prefix were never
-            # decremented and must not be re-counted
-            inc = touched & live_new
-            didx = jnp.concatenate([
-                dec_s, dec_r,
-                jnp.where(inc, s_new, n),
-                jnp.where(inc, r_new, n)])
-            dval = jnp.concatenate([-one_m, -one_m, one_m, one_m])
-            deg_next = jnp.concatenate(
-                [deg, jnp.zeros((1,), jnp.int32)]).at[didx].add(dval)[:n]
+            # ---- post-sort pipeline, sized by a touched-count ladder -----
+            # Everything below operates on the touched prefix only; its
+            # exact size is sum(deg over elim) (Luby independence: each
+            # touched slot has exactly one eliminated endpoint), usually
+            # far below the static stage budget e_t in late rounds — the
+            # switch picks the smallest static prefix that covers it.
+            def pipeline(ET):
+              def run():
+                if packed:
+                    kap_t = kap[ET:]
+                    ks_t = kap_t // B
+                    kr_t = kap_t - ks_t * B
+                    cls_tail = rho[ET:] - (base - 1)  # all untouched
+                    rho_p, kap_p, w_p = rho[:ET], kap[:ET], w[:ET]
+                    touched = rho_p < base
+                    owner = jnp.where(touched, rho_p // B, n)
+                    other = jnp.where(touched, rho_p - owner * B, n)
+                    ks = kap_p // B
+                    kr = kap_p - ks * B
+                    same = rho_p[1:] == rho_p[:-1]
+                else:
+                    ks_t, kr_t = sq[ET:], rq[ET:]
+                    cls_tail = ow_a[ET:] - n
+                    w_p = w[:ET]
+                    touched = ow_a[:ET] < n
+                    owner = jnp.where(touched, ow_a[:ET], n)
+                    other = jnp.where(touched, ot_a[:ET], n)
+                    ks, kr = sq[:ET], rq[:ET]
+                    same = ((owner[1:] == owner[:-1])
+                            & (other[1:] == other[:-1])) & touched[1:]
+                w_t = w[ET:]
 
-            # exact last-position bounds (end positions, i.e. index + 1):
-            # pos1 over cls1 slots drives the selection-prefix invariant;
-            # bound over any active (cls <= 2) slot drives stage exit
-            iota_p = jnp.arange(P, dtype=jnp.int32)
-            pos1 = jnp.max(jnp.where(cls_next == 1, iota_p, -1)) + 1
-            bound = jnp.max(jnp.where(cls_next <= 2, iota_p, -1)) + 1
+                # degree decrement indices: every touched copy's original
+                # endpoints, captured before the o_n tail sort pads them
+                dec_s = jnp.where(touched, ks, n)
+                dec_r = jnp.where(touched, kr, n)
+
+                # ---- runs: duplicate copies of one pair share a key ------
+                head_run = jnp.concatenate(
+                    [t1, jnp.logical_not(same)]) & touched
+                is_tail = jnp.concatenate(
+                    [jnp.logical_not(same), t1]) & touched
+                run_sum = _segmented_cumsum(w_p, head_run)
+                v = jnp.where(is_tail, run_sum, zero_w)  # column weight
+
+                if o_n in ("asc", "desc"):
+                    # order each eliminated column by weight before the
+                    # suffix-CDF pass (compressColumn's sort, cc:295-307)
+                    pad_mask = touched & jnp.logical_not(is_tail)
+                    ks2 = jnp.where(pad_mask, n, ks)
+                    kr2 = jnp.where(pad_mask, n, kr)
+                    w_p2 = jnp.where(pad_mask, zero_w, w_p)
+                    own_t = jnp.where(is_tail, owner, big)
+                    o_key = v.astype(jnp.float32)
+                    o_key = jnp.where(is_tail,
+                                      o_key if o_n == "asc" else -o_key,
+                                      jnp.asarray(jnp.inf, jnp.float32))
+                    own_t, _, other2, v2, ks, kr, w_p = jax.lax.sort(
+                        (own_t, o_key, other, v, ks2, kr2, w_p2),
+                        num_keys=2)
+                    other, v = other2, v2
+                    owner = jnp.where(own_t < big, own_t, n)
+                    touched = own_t < big
+                    is_tail = touched
+
+                # ---- suffix-CDF sampling over run tails per column -------
+                hs = jnp.concatenate([t1, owner[1:] != owner[:-1]])
+                cum = _segmented_cumsum(v, hs)
+                csum = _segmented_maxscan_rev(cum, hs)
+                suffix = csum - cum
+
+                if o_v == "coarsen":
+                    # one partner per whole column ~ v_k/csum; every other
+                    # neighbor rewires onto it with harmonic weights
+                    # (preconditioner.cc:866-912)
+                    eu = jnp.maximum(
+                        jax.random.uniform(rkey, (ET,), dtype=jnp.float32),
+                        jnp.asarray(1e-12, jnp.float32))
+                    race_x = jnp.where(
+                        is_tail, -jnp.log(eu) / jnp.maximum(
+                            v.astype(jnp.float32), 1e-30),
+                        jnp.asarray(jnp.inf, jnp.float32))
+                    _, race_o, race_v = _segmented_race_rev(
+                        race_x, other, v, hs)
+                    partner = _segmented_headscan(
+                        jnp.where(hs, race_o, 0), hs)
+                    w_k = _segmented_headscan(
+                        jnp.where(hs, race_v, zero_w), hs)
+                    emit = is_tail & (csum > 0) & (other != partner)
+                    denom = jnp.where(v + w_k > 0, v + w_k, 1.0)
+                    wnew = jnp.where(emit, v * w_k / denom, zero_w)
+                elif sampler == "race":
+                    eu = jnp.maximum(
+                        jax.random.uniform(rkey, (ET,), dtype=jnp.float32),
+                        jnp.asarray(1e-12, jnp.float32))
+                    race_x = jnp.where(
+                        is_tail, -jnp.log(eu) / jnp.maximum(
+                            v.astype(jnp.float32), 1e-30),
+                        jnp.asarray(jnp.inf, jnp.float32))
+                    _, race_o, _ = _segmented_race_rev(race_x, other, v, hs)
+                    partner = jnp.concatenate(
+                        [race_o[1:], jnp.full((1,), n, jnp.int32)])
+                    emit = is_tail & (suffix > 0)
+                    csafe = jnp.where(csum > 0, csum, 1.0)
+                    wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+                else:
+                    # independent per-neighbor inverse-CDF draws, located
+                    # by one merge-based rank lookup (first cum > rv)
+                    u = jax.random.uniform(rkey, (ET,),
+                                           dtype=jnp.float32).astype(wdtype)
+                    rv = cum + u * suffix
+                    rv = jnp.minimum(rv, jnp.nextafter(
+                        csum, jnp.zeros_like(csum)))
+                    emit = is_tail & (suffix > 0)
+                    q = _last_le_lookup(
+                        (owner, cum),
+                        (jnp.where(emit, owner, n + 1),
+                         jnp.where(emit, rv, zero_w))) + 1
+                    q = jnp.clip(q, 0, ET - 1)
+                    partner = other[q]
+                    csafe = jnp.where(csum > 0, csum, 1.0)
+                    wnew = jnp.where(emit, v * suffix / csafe, zero_w)
+
+                # ---- write-back: each emitting run tail overwrites its
+                # own slot; other touched slots retire to padding ----------
+                can_s = jnp.minimum(other, partner)
+                can_r = jnp.maximum(other, partner)
+                s_new = jnp.where(touched, jnp.where(emit, can_s, n), ks)
+                r_new = jnp.where(touched, jnp.where(emit, can_r, n), kr)
+                w_new = jnp.where(touched,
+                                  jnp.where(emit, wnew, zero_w), w_p)
+
+                # ---- classify + orient the prefix, update degrees --------
+                pnp = jnp.concatenate([pending_next, f1])
+                live_new = s_new < n
+                psn = pnp[s_new]
+                prn = pnp[r_new]
+                cls_p = jnp.where(live_new & psn & prn, 1,
+                                  jnp.where(live_new & (psn | prn), 2, 3)
+                                  ).astype(jnp.int32)
+                flip = (cls_p == 2) & prn
+                s_fin = jnp.where(flip, r_new, s_new)
+                r_fin = jnp.where(flip, s_new, r_new)
+
+                one_m = jnp.ones((ET,), jnp.int32)
+                # increments: only touched slots hold NEW edges
+                # (emissions); untouched pass-through slots in the prefix
+                # were never decremented and must not be re-counted
+                inc = touched & live_new
+                didx = jnp.concatenate([
+                    dec_s, dec_r,
+                    jnp.where(inc, s_new, n),
+                    jnp.where(inc, r_new, n)])
+                dval = jnp.concatenate([-one_m, -one_m, one_m, one_m])
+                deg_next = jnp.concatenate(
+                    [deg, jnp.zeros((1,), jnp.int32)]).at[didx].add(
+                        dval)[:n]
+
+                # ---- prefix class-pack + exact cls1-range state ----------
+                # One ET-sized sort groups the rewritten prefix [cls1]
+                # [cls2][cls3], so the next round's selection and es/er
+                # read cls1 from two tight ranges: [0, c1p) (prefix cls1)
+                # and [ET, pos1) (untouched-tail cls1 the pool sort
+                # packed right behind the touched block). Degree updates
+                # above used the pre-pack indices (order-independent
+                # scatters).
+                if levels:
+                    cls_s, s_out, r_out, w_out = jax.lax.sort(
+                        (cls_p, s_fin, r_fin, w_new), num_keys=1)
+                    cls_next = jnp.concatenate([cls_s, cls_tail])
+                    c1p_new = jnp.sum((cls_s == 1).astype(jnp.int32))
+                    r2s_new = jnp.asarray(ET, jnp.int32)
+                else:
+                    s_out, r_out, w_out = s_fin, r_fin, w_new
+                    cls_next = jnp.concatenate([cls_p, cls_tail])
+                    c1p_new = jnp.zeros((), jnp.int32)
+                    r2s_new = jnp.zeros((), jnp.int32)
+
+                # exact last-position bounds (end positions, index + 1):
+                # pos1 over cls1 slots bounds the tail range; bound over
+                # any active (cls <= 2) slot drives stage exit
+                iota_p = jnp.arange(P, dtype=jnp.int32)
+                pos1 = jnp.max(jnp.where(cls_next == 1, iota_p, -1)) + 1
+                bound = jnp.max(jnp.where(cls_next <= 2, iota_p, -1)) + 1
+                r2e_new = jnp.maximum(pos1, r2s_new)
+                return (jnp.concatenate([s_out, ks_t]),
+                        jnp.concatenate([r_out, kr_t]),
+                        jnp.concatenate([w_out, w_t]),
+                        cls_next, deg_next, c1p_new, r2s_new, r2e_new,
+                        bound)
+              return run
+
+            if len(et_levels) > 1:
+                # exact touched count: sum of deg over the (independent)
+                # eliminated set — each touched slot has exactly one
+                # eliminated endpoint
+                tc = jnp.sum(jnp.where(elim, deg, 0))
+                et_fits = [tc <= E for E in et_levels]  # ascending, nested
+                et_lvl = sum(jnp.logical_not(f).astype(jnp.int32)
+                             for f in et_fits[:-1])
+                (s_next, r_next, w_next, cls_next, deg_next, c1p_new,
+                 r2s_new, r2e_new, bound) = jax.lax.switch(
+                    et_lvl, [pipeline(E) for E in et_levels])
+            else:
+                (s_next, r_next, w_next, cls_next, deg_next, c1p_new,
+                 r2s_new, r2e_new, bound) = pipeline(et_levels[0])()
 
             return dict(
-                senders=jnp.concatenate([s_fin, ks_t]),
-                receivers=jnp.concatenate([r_fin, kr_t]),
-                weights=jnp.concatenate([w_new, w_t]),
+                senders=s_next,
+                receivers=r_next,
+                weights=w_next,
                 cls=cls_next,
                 pending=pending_next,
                 deg=deg_next,
@@ -652,21 +747,14 @@ def _eliminate_impl_fast(
                 key=st["key"],
                 rnd=st["rnd"] + 1,
                 overflow=overflow,
-                pos1=pos1,
+                c1p=c1p_new,
+                r2s=r2s_new,
+                r2e=r2e_new,
                 bound=bound,
             )
 
         return cond, body
 
-    carry = dict(
-        pending=pending, deg=deg0,
-        removed=jnp.zeros((), jnp.int32),
-        npend=jnp.sum(pending.astype(jnp.int32)),
-        key=key, rnd=jnp.zeros((), jnp.int32),
-        overflow=jnp.zeros((), bool),
-        pos1=n1_0,
-        bound=n1_0 + n2_0,
-    )
     stages = _stage_sizes(e_half) if compact else (e_half,)
 
     def stage_params(si, P, is_last):
@@ -684,25 +772,62 @@ def _eliminate_impl_fast(
         else:
             e_t = P
         if o_v == "random" and compact and e_t < P:
-            # cls1 cap: round-0 both-pending mass is (t/n)^2 of the pool
-            # (~25% at the t=n/2 production shape) and collapses
-            # quadratically; _B_FRAC * P covers it with margin at every
-            # stage; a round whose cls1 block outgrew S falls back to
-            # full-prefix selection via the in-body lax.cond
+            # cls1 coverage levels (A1 over the packed prefix, A2 over
+            # the tail range): round-0 both-pending mass is (t/n)^2 of
+            # the pool (~25% at the t=n/2 production shape) and
+            # collapses quadratically, so most rounds fit a small level;
+            # a round no level covers falls back to full-prefix
+            # selection via the in-body lax.switch
             b_cap = min(P, ((int(_B_FRAC * P) + 1023) // 1024) * 1024)
-            S = min(P, e_t + b_cap)
+
+            def rnd1024(x, lo=2048):
+                return max(lo, ((x + 1023) // 1024) * 1024)
+
+            levels = []
+            for d in (64, 16, 4, 2, 1):  # ascending => fits are nested
+                lv = (min(e_t, rnd1024(e_t // d)),
+                      min(b_cap, rnd1024(b_cap // d)))
+                if lv not in levels:
+                    levels.append(lv)
         else:
-            S = P
-        return e_t, S
+            levels = []
+        if e_t < P:
+            # touched-count ladder for the post-sort pipeline: late
+            # rounds (the hub endgame especially) touch far fewer slots
+            # than the static budget
+            et_levels = []
+            for d in (16, 4, 1):
+                v_ = min(e_t, max(4096, ((e_t // d + 1023) // 1024) * 1024))
+                if v_ not in et_levels:
+                    et_levels.append(v_)
+        else:
+            et_levels = [e_t]
+        return e_t, tuple(levels), tuple(et_levels)
+
+    split0 = stage_params(0, stages[0], len(stages) == 1)[0]
+    c1p0 = jnp.minimum(n1_0, jnp.asarray(split0, jnp.int32))
+    carry = dict(
+        pending=pending, deg=deg0,
+        removed=jnp.zeros((), jnp.int32),
+        npend=jnp.sum(pending.astype(jnp.int32)),
+        key=key, rnd=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), bool),
+        # entry layout is globally class-sorted: cls1 = [0, n1_0) =
+        # [0, c1p0) u [c1p0, n1_0) — already in two-range form
+        c1p=c1p0,
+        r2s=c1p0,
+        r2e=n1_0,
+        bound=n1_0 + n2_0,
+    )
 
     for si, P in enumerate(stages):
         next_P = stages[si + 1] if si + 1 < len(stages) else None
-        e_t, S = stage_params(si, P, next_P is None)
+        e_t, levels, et_levels = stage_params(si, P, next_P is None)
         sub = (subiters if isinstance(subiters, int)
                else subiters[min(si, len(subiters) - 1)])
         st = dict(senders=s_full[:P], receivers=r_full[:P],
                   weights=w_full[:P], cls=cls_arr[:P], **carry)
-        cond, body = make_stage(P, e_t, S, next_P, sub)
+        cond, body = make_stage(P, e_t, levels, et_levels, next_P, sub)
         out = jax.lax.while_loop(cond, body, st)
         carry = {k: out[k] for k in carry}
         # stage exit is a pure slice: the per-round sort already packs
@@ -769,6 +894,53 @@ def eliminate(g: Graph, key: jax.Array, num_remove,
     # the last write-back leaves uncoalesced emissions
     out = G.drop_zero_weight(G.coalesce_fast(out))
     return out, removed, overflow
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("o_v", "o_n", "schedule", "sampler", "compact",
+                     "subiters"))
+def eliminate_pair(g: Graph, key: jax.Array, num_remove,
+                   o_v: str = "random", o_n: str = "random",
+                   schedule: str = "fast", sampler: str = "independent",
+                   compact: bool = True, subiters: int = 3):
+    """Two INDEPENDENT rLap views of the same graph in one jitted call —
+    the augmentation pattern of every GCL epoch (both views drawn from the
+    same input, `node_shared.py:273-281`, `CCA-SSG/main.py:96-98`).
+
+    Shares across the views exactly what is shareable without touching
+    their distribution: the entry canonicalization (self-loop removal,
+    coalesce, zero-drop — one sort over the full edge capacity), the
+    output-coalesce infrastructure, and one dispatch/compile. The round
+    loops themselves run per view with independent keys: the per-round
+    costs are element-priced gathers/scatters/sorts that do not shrink by
+    batching (vmap-batched views measured 38% SLOWER than two calls,
+    BENCH_EXTRA.md), so each view's stream is kept byte-identical to a
+    single `eliminate` call with the same subkey — parity is asserted
+    exactly in tests, not statistically.
+
+    Returns ((g1, removed1, overflow1), (g2, removed2, overflow2)).
+    """
+    if schedule not in _VALID_SCHEDULE:
+        raise ValueError(
+            f"schedule must be one of {_VALID_SCHEDULE}, got {schedule!r}")
+    gg = G.remove_self_loops(g)
+    gg = G.coalesce_fast(gg)
+    gg = G.drop_zero_weight(gg)
+    t = jnp.minimum(jnp.asarray(num_remove, jnp.int32), g.num_nodes - 1)
+    n = g.num_nodes
+    k1, k2 = jax.random.split(key)
+    outs = []
+    for kv in (k1, k2):
+        s, r, w, removed, _rounds, overflow = _eliminate_impl_fast(
+            gg.senders, gg.receivers, gg.weights, kv, t,
+            n=n, o_v=o_v, o_n=o_n, schedule=schedule, sampler=sampler,
+            compact=compact, subiters=subiters)
+        out = Graph(senders=s, receivers=r, weights=w,
+                    num_nodes=g.num_nodes, x=g.x, node_mask=g.node_mask)
+        out = G.drop_zero_weight(G.coalesce_fast(out))
+        outs.append((out, removed, overflow))
+    return tuple(outs)
 
 
 def approximate_cholesky(

@@ -256,3 +256,20 @@ def test_cca_ssg_checkpoint_resume(node_data, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(ref.params),
                     jax.tree_util.tree_leaves(t2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4)
+
+
+def test_grace_paired_rlap_views(node_data):
+    """The one-call paired augmentor (eliminate_pair) trains GRACE: views
+    are drawn from the same marginal as two single RLap calls (exact
+    parity asserted in test_rlap_op), and the recipe learns through it."""
+    from rlap_tpu.augment.rlap import PairedRLap
+    from rlap_tpu.models.grace import GraceTrainer
+
+    g, y = node_data
+    tr = GraceTrainer(hidden_dim=32, num_layers=2, lr=5e-3, block_size=64,
+                      seed=0, pair_augmentor=PairedRLap(0.2, pf=0.3))
+    losses = tr.fit(g, max_epochs=20, tolerance=20)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    res = tr.evaluate(g, y)
+    assert res["accuracy"] > 0.4

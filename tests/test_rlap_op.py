@@ -212,3 +212,25 @@ def test_incremental_degree_exactness():
         assert r0 == r1 and o0 == o1
         np.testing.assert_array_equal(s0, s1)
         np.testing.assert_allclose(w0, w1, rtol=1e-6)
+
+
+def test_eliminate_pair_exact_parity():
+    """eliminate_pair shares the entry canonicalization across two views
+    but keeps each view's stream byte-identical to a single eliminate call
+    with the same subkey — parity is exact, not statistical."""
+    import rlap_tpu.ops.rlap as R
+
+    g = barabasi_albert(1500, 6, seed=4)
+    key = jax.random.PRNGKey(9)
+    (g1, rm1, ov1), (g2, rm2, ov2) = R.eliminate_pair(g, key, 700)
+    k1, k2 = jax.random.split(key)
+    for (gp, rmp, ovp), kv in (((g1, rm1, ov1), k1), ((g2, rm2, ov2), k2)):
+        ref, rmr, ovr = R.eliminate(g, kv, 700)
+        assert int(rmp) == int(rmr) == 700
+        assert bool(ovp) == bool(ovr)
+        np.testing.assert_array_equal(np.asarray(gp.senders),
+                                      np.asarray(ref.senders))
+        np.testing.assert_allclose(np.asarray(gp.weights),
+                                   np.asarray(ref.weights), rtol=1e-6)
+    # and the two views are genuinely different draws
+    assert not np.array_equal(np.asarray(g1.senders), np.asarray(g2.senders))

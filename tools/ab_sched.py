@@ -13,7 +13,9 @@ def main():
     fr = tuple(int(x) for x in (sys.argv[2] if len(sys.argv) > 2
                                 else "4,2").split(","))
     bf = float(sys.argv[3]) if len(sys.argv) > 3 else 0.3
-    sub = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    sub_s = sys.argv[4] if len(sys.argv) > 4 else "3"
+    sub = (int(sub_s) if "," not in sub_s
+           else tuple(int(x) for x in sub_s.split(",")))
     reps = int(sys.argv[5]) if len(sys.argv) > 5 else 8
 
     import jax
