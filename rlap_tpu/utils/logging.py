@@ -93,7 +93,10 @@ def results_table(paths, metric: str = "accuracy",
         if not v:
             return "-"
         a = np.asarray(v)
-        return f"{a.mean():.4f}±{a.std():.4f}"
+        if a.size == 1:
+            # never print a ±std on a single sample (it reads as a sweep)
+            return f"{a[0]:.4f} (n=1)"
+        return f"{a.mean():.4f}±{a.std():.4f} (n={a.size})"
 
     if fmt == "latex":
         lines = ["\\begin{tabular}{l" + "c" * len(cols) + "}",
