@@ -38,9 +38,15 @@ def main():
     setup_compilation_cache()
     for seed in range(seeds):
         for name in AUGMENTOR_NAMES:
+            # InfoNCE on the weak-feature stand-in RISES for ~100
+            # warm-up epochs before descending; the reference's
+            # tolerance-50 early stop (node_shared.py:510-528) would
+            # kill every run at epoch 51, so the sweep trains a fixed
+            # 600-epoch budget with a 200-epoch patience
             cfg = ExperimentConfig(recipe="grace", dataset="CORA",
                                    augmentor=name, fraction1=0.2,
-                                   fraction2=0.2, seed=seed)
+                                   fraction2=0.2, seed=seed,
+                                   max_epochs=600, tolerance=200)
             path = f"{results_dir}/{cfg.run_name()}.jsonl"
             if done(path, repeats):
                 print(f"skip {cfg.run_name()} (done)", flush=True)

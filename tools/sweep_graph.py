@@ -9,7 +9,7 @@ Datasets: the MUTAG stand-in (188 graphs) and the PROTEINS-scale stand-in
 Resumable at run-file granularity (skip when a results file already holds
 the full repeat count, `run_node_shared.sh:28-31` semantics).
 
-Usage: python tools/sweep_graph.py [seeds] [results_dir] [max_epochs]
+Usage: python tools/sweep_graph.py [seeds] [results_dir] [max_epochs] [datasets_csv]
 """
 
 import json
@@ -39,6 +39,8 @@ def main():
     seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     results_dir = sys.argv[2] if len(sys.argv) > 2 else "results"
     max_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    datasets = (tuple(sys.argv[4].split(","))
+                if len(sys.argv) > 4 else DATASETS)
     repeats = 10
 
     import jax
@@ -50,7 +52,7 @@ def main():
     from rlap_tpu.utils.config import ExperimentConfig
 
     os.makedirs(results_dir, exist_ok=True)
-    for dataset in DATASETS:
+    for dataset in datasets:
         for recipe in RECIPES:
             for name in AUGMENTORS:
                 for seed in range(seeds):
