@@ -45,24 +45,26 @@ def make_union_batches(graphs, batch_size: int, shuffle_seed: int = 0):
 
     from rlap_tpu.core import graph as G
 
-    def bucket(x, lo):
-        # capacities snap to a deterministic 1.25-step series so batch
-        # shapes COLLIDE across epochs/shuffles — per-shuffle exact caps
-        # made every epoch recompile its train step (each chunk's node /
-        # edge sum varies a little with the permutation), which dominated
-        # graph-recipe wall time on CPU and is catastrophic over a
-        # remote-TPU tunnel; <=25% padding buys compile reuse
+    def bucket(x, lo, mult):
+        # capacities snap to a deterministic ~1.25-step series (each step
+        # rounded to `mult`, keeping shapes divisible for mesh sharding)
+        # so batch shapes COLLIDE across epochs/shuffles — per-shuffle
+        # exact caps made every epoch recompile its train step (each
+        # chunk's node/edge sum varies a little with the permutation),
+        # which dominated graph-recipe wall time on CPU and is
+        # catastrophic over a remote-TPU tunnel; <=25% padding buys
+        # compile reuse
         c = lo
         while c < x:
-            c = (c * 5 + 3) // 4
+            c = ((c * 5 + 3) // 4 + mult - 1) // mult * mult
         return c
 
     idx = np.random.default_rng(shuffle_seed).permutation(len(graphs))
     batches = []
     for start in range(0, len(idx), batch_size):
         chunk = [graphs[int(i)] for i in idx[start:start + batch_size]]
-        ncap = bucket(sum(g.num_nodes for g in chunk), 128)
-        ecap = bucket(sum(int(g.num_edges) for g in chunk), 256)
+        ncap = bucket(sum(g.num_nodes for g in chunk), 128, 128)
+        ecap = bucket(sum(int(g.num_edges) for g in chunk), 256, 256)
         batch, seg = G.block_diagonal(chunk, node_capacity=ncap,
                                       edge_capacity=ecap)
         batches.append((batch, seg, len(chunk)))
