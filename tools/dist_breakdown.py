@@ -90,9 +90,11 @@ def main():
     def ag_probe(x):
         def body(xs):
             own = xs.reshape(-1)[:block_sz]
+            # out_specs P("data"): each shard keeps its gathered copy
+            # (the probe measures collective cost, not layout)
             return jax.lax.all_gather(own, "data", tiled=True)[:n]
         return shard_map(body, mesh=mesh, in_specs=P("data"),
-                         out_specs=P(None))(x)
+                         out_specs=P("data"))(x)
 
     @jax.jit
     def a2a_probe(x):
