@@ -9,7 +9,7 @@ Datasets: the MUTAG stand-in (188 graphs) and the PROTEINS-scale stand-in
 Resumable at run-file granularity (skip when a results file already holds
 the full repeat count, `run_node_shared.sh:28-31` semantics).
 
-Usage: python tools/sweep_graph.py [seeds] [results_dir] [max_epochs] [datasets_csv]
+Usage: python tools/sweep_graph.py [seeds] [results_dir] [max_epochs] [datasets_csv] [recipes_csv] [augmentors_csv]
 """
 
 import json
@@ -41,6 +41,10 @@ def main():
     max_epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     datasets = (tuple(sys.argv[4].split(","))
                 if len(sys.argv) > 4 else DATASETS)
+    recipes = (tuple(sys.argv[5].split(","))
+               if len(sys.argv) > 5 else RECIPES)
+    augmentors = (tuple(sys.argv[6].split(","))
+                  if len(sys.argv) > 6 else AUGMENTORS)
     repeats = 10
 
     import jax
@@ -53,8 +57,8 @@ def main():
 
     os.makedirs(results_dir, exist_ok=True)
     for dataset in datasets:
-        for recipe in RECIPES:
-            for name in AUGMENTORS:
+        for recipe in recipes:
+            for name in augmentors:
                 for seed in range(seeds):
                     eps = max_epochs if dataset == "MUTAG" else \
                         max(max_epochs * 2 // 3, 10)
