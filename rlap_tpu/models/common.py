@@ -45,26 +45,23 @@ def make_union_batches(graphs, batch_size: int, shuffle_seed: int = 0):
 
     from rlap_tpu.core import graph as G
 
-    def bucket(x, lo, mult):
-        # capacities snap to a deterministic ~1.25-step series (each step
-        # rounded to `mult`, keeping shapes divisible for mesh sharding)
-        # so batch shapes COLLIDE across epochs/shuffles — per-shuffle
-        # exact caps made every epoch recompile its train step (each
-        # chunk's node/edge sum varies a little with the permutation),
-        # which dominated graph-recipe wall time on CPU and is
-        # catastrophic over a remote-TPU tunnel; <=25% padding buys
-        # compile reuse
-        c = lo
-        while c < x:
-            c = ((c * 5 + 3) // 4 + mult - 1) // mult * mult
-        return c
+    # shuffle-INDEPENDENT capacities: the worst any chunk can need is the
+    # sum of the `batch_size` largest graphs, so every epoch/shuffle
+    # reuses the same compiled step (per-chunk exact caps recompiled the
+    # train step whenever a permutation nudged a chunk's node/edge sum —
+    # which dominated graph-recipe wall time on CPU and costs minutes per
+    # shape over a remote-TPU tunnel; bounded padding buys compile reuse)
+    def cap(sizes, mult):
+        worst = sum(sorted(sizes, reverse=True)[:batch_size])
+        return max(mult, (worst + mult - 1) // mult * mult)
+
+    ncap = cap([g.num_nodes for g in graphs], 128)
+    ecap = cap([int(g.num_edges) for g in graphs], 256)
 
     idx = np.random.default_rng(shuffle_seed).permutation(len(graphs))
     batches = []
     for start in range(0, len(idx), batch_size):
         chunk = [graphs[int(i)] for i in idx[start:start + batch_size]]
-        ncap = bucket(sum(g.num_nodes for g in chunk), 128, 128)
-        ecap = bucket(sum(int(g.num_edges) for g in chunk), 256, 256)
         batch, seg = G.block_diagonal(chunk, node_capacity=ncap,
                                       edge_capacity=ecap)
         batches.append((batch, seg, len(chunk)))
