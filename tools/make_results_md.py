@@ -1,7 +1,11 @@
 """Regenerate RESULTS.md from results/*.jsonl — the reference's
 `prepare_final_stats.py` tables without the stdout scraping.
 
-Usage: python tools/make_results_md.py [results_dir]
+Usage: python tools/make_results_md.py [results_dir ...]
+
+Multiple dirs merge into one table (e.g. `results results_cpu` when part
+of a sweep ran on CPU workers alongside the TPU stream); a run file name
+appearing in more than one dir keeps only the first dir's copy.
 """
 
 import glob
@@ -14,16 +18,24 @@ from rlap_tpu.utils.logging import read_metrics, results_table  # noqa: E402
 
 
 def main():
-    rdir = sys.argv[1] if len(sys.argv) > 1 else "results"
-    paths = sorted(glob.glob(os.path.join(rdir, "*.jsonl")))
+    rdirs = sys.argv[1:] if len(sys.argv) > 1 else ["results"]
+    rdir = rdirs[0]
+    by_name = {}
+    for d in rdirs:
+        for p in sorted(glob.glob(os.path.join(d, "*.jsonl"))):
+            by_name.setdefault(os.path.basename(p), p)
+    paths = sorted(by_name.values())
     synthetic = any(rec.get("synthetic")
                     for p in paths for rec in read_metrics(p, "dataset"))
     lines = [
         "# Recipe results (linear-probe accuracy, mean±std over eval "
         "repeats)",
         "",
-        f"Generated from `{rdir}/*.jsonl` by `tools/make_results_md.py`; "
-        "runs executed on the axon TPU v5e.",
+        "Generated from "
+        + ", ".join(f"`{d}/*.jsonl`" for d in rdirs)
+        + " by `tools/make_results_md.py`; runs executed on the axon TPU "
+        "v5e" + (" (CPU-worker runs in the later dirs)"
+                 if len(rdirs) > 1 else "") + ".",
     ]
     if synthetic:
         lines += ["", "Datasets are deterministic synthetic stand-ins of "
