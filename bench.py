@@ -99,12 +99,16 @@ def main():
     # elements each op must touch, priced at the measured on-chip
     # primitive costs — see rlap_tpu/bench/roofline.py. The fraction says
     # how close the static-prefix kernel gets to its own ceiling.
-    from rlap_tpu.bench.roofline import roofline_ms
+    from rlap_tpu.bench.roofline import roofline_ms, schedule_ms
 
     model_ms, model = roofline_ms(n, m=m, frac=frac, seed=0)
     log(f"roofline (speed-of-light model): {model_ms:.1f} ms "
         f"({model['rounds']} rounds; breakdown "
         f"{ {k: round(v, 1) for k, v in model['breakdown_ms'].items()} })")
+    sched = schedule_ms(n, model)
+    log(f"implemented-schedule price: {sched['sched_ms']:.1f} ms "
+        f"(static-prefix quantization over the ideal; residue vs measured "
+        f"is per-op XLA overhead — see BENCH_EXTRA.md)")
 
     print(json.dumps({
         "metric": "rlap_edges_per_s",
@@ -120,6 +124,11 @@ def main():
         # (measured primitive costs x necessary element counts)
         "roofline_fraction": round(model_ms / (dt * 1e3), 3),
         "roofline_ms": round(model_ms, 1),
+        # the same schedule priced at the kernel's actual static sizes
+        # (stage prefixes + ladder rungs): how much of the roofline gap
+        # is static-shape quantization vs per-op XLA overhead
+        "sched_ms": round(sched["sched_ms"], 1),
+        "sched_fraction": round(sched["sched_ms"] / (dt * 1e3), 3),
     }))
 
 

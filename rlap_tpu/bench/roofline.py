@@ -205,3 +205,57 @@ def roofline_ms(n: int, m: int = 8, frac: float = 0.5,
                 seed: int = 0) -> Tuple[float, Dict]:
     res = simulate(n, m=m, frac=frac, seed=seed)
     return res["model_ms"], res
+
+
+def schedule_ms(n: int, res: Dict, subiters: int = 3,
+                b_frac: float = 0.18) -> Dict:
+    """Price the IMPLEMENTED static schedule from a `simulate()` result.
+
+    The ideal model prices every op at exactly the elements it must touch;
+    the real kernel pays static sizes — the pool sort and sender-side es
+    gather at the stage prefix P, selection/er at the smallest cls1 level
+    covering the ranges, the pipeline at the touched-count rung — plus
+    replicated n-sized vertex work per sub-round. The delta between the
+    two decomposes the roofline gap into named quantization terms
+    (committed at BA(100k) in BENCH_EXTRA.md); the residue between this
+    price and the measured time is per-op XLA overhead.
+    """
+    packed = n * (n + 2) + 4 < _INT32_MAX
+    n_sort_arr = 3 if packed else 5
+
+    def rnd1024(x, lo=2048):
+        return max(lo, ((x + 1023) // 1024) * 1024)
+
+    cost = dict(sort=0.0, selection=0.0, esr=0.0, scans=0.0, lookup=0.0,
+                classify=0.0, degree=0.0, pack=0.0, vertex=0.0)
+    for h in res["hist"]:
+        P, e_t, T, C1 = h["P"], h["e_t"], h["T"], h["C1"]
+        b_cap = min(P, ((int(b_frac * P) + 1023) // 1024) * 1024)
+        levels = []
+        for d in (64, 16, 4, 2, 1):
+            lv = (min(e_t, rnd1024(e_t // d)),
+                  min(b_cap, rnd1024(b_cap // d)))
+            if lv not in levels:
+                levels.append(lv)
+        sel_elems = next((A1 + A2 for (A1, A2) in levels if C1 <= A1 + A2),
+                         P)
+        et_levels = []
+        for d in (16, 4, 1):
+            v_ = min(e_t, max(4096, ((e_t // d + 1023) // 1024) * 1024))
+            if v_ not in et_levels:
+                et_levels.append(v_)
+        ET = next((v for v in et_levels if T <= v), e_t)
+
+        cost["sort"] += NS_SORT_ARR * n_sort_arr * P
+        cost["selection"] += (subiters * (NS_GATHER + NS_SCATTER)
+                              * 2 * sel_elems)
+        cost["esr"] += NS_GATHER * (P + sel_elems)
+        cost["scans"] += NS_SCAN * 6 * ET
+        cost["lookup"] += NS_SORT_ARR * 3 * 2 * ET + NS_SCAN * 2 * ET
+        cost["classify"] += NS_GATHER * 2 * ET
+        cost["degree"] += NS_SCATTER * 4 * ET
+        cost["pack"] += NS_SORT_ARR * 4 * ET
+        cost["vertex"] += NS_ELEM * n * (7 * subiters + 6)
+    total = sum(cost.values()) / 1e6 + res["entry_exit_ms"]
+    return dict(sched_ms=total,
+                breakdown_ms={k: v / 1e6 for k, v in cost.items()})
