@@ -49,7 +49,12 @@ def read_metrics(path: str, event: Optional[str] = None) -> Iterator[dict]:
             line = line.strip()
             if not line:
                 continue
-            rec = json.loads(line)
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                # a run killed mid-write leaves one truncated final line;
+                # skip it rather than lose the whole file's rows
+                continue
             if event is None or rec.get("event") == event:
                 yield rec
 
