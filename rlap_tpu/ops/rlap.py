@@ -89,6 +89,12 @@ _RECOMPUTE_DEG = False  # debug knob: per-round full degree recompute
 _ET_FRACS: Tuple[int, ...] = (6,)
 _ET_FRAC_LAST = 2
 _B_FRAC = 0.18
+# ladder grids (geometric divisor sequences, ascending rung sizes):
+# selection/er levels over (e_t, b_cap) and the touched-count pipeline
+# rungs; finer grids cut static-prefix overshoot (the dominant
+# quantization term, tools/quantized_roofline.py) at more compile time
+_SEL_LADDER: Tuple[int, ...] = (64, 16, 4, 2, 1)
+_ET_LADDER: Tuple[int, ...] = (16, 4, 1)
 
 
 def _segmented_cumsum(vals, heads):
@@ -784,7 +790,7 @@ def _eliminate_impl_fast(
                 return max(lo, ((x + 1023) // 1024) * 1024)
 
             levels = []
-            for d in (64, 16, 4, 2, 1):  # ascending => fits are nested
+            for d in _SEL_LADDER:  # ascending sizes => fits are nested
                 lv = (min(e_t, rnd1024(e_t // d)),
                       min(b_cap, rnd1024(b_cap // d)))
                 if lv not in levels:
@@ -796,7 +802,7 @@ def _eliminate_impl_fast(
             # rounds (the hub endgame especially) touch far fewer slots
             # than the static budget
             et_levels = []
-            for d in (16, 4, 1):
+            for d in _ET_LADDER:
                 v_ = min(e_t, max(4096, ((e_t // d + 1023) // 1024) * 1024))
                 if v_ not in et_levels:
                     et_levels.append(v_)
